@@ -1,0 +1,145 @@
+"""NHWC convolution primitives with PyTorch-compatible geometry.
+
+The reference uses ``nn.Conv2d`` / ``nn.ConvTranspose2d`` (NCHW, cuDNN)
+everywhere (e.g. reference layers/ffc/ffc.py:44-70,
+layers/ffc/ffc_transpose.py:52-86). Here convolutions are pure functions
+over NHWC activations and HWIO kernels, lowered through
+``lax.conv_general_dilated`` so XLA tiles them onto the MXU.
+
+"PyTorch-compatible geometry" means identical output shapes for the same
+(kernel, stride, padding, dilation, output_padding) hyper-parameters:
+
+  conv:   out = floor((in + 2p - d*(k-1) - 1)/s) + 1
+  convT:  out = (in-1)*s - 2p + d*(k-1) + output_padding + 1
+
+Weight-tensor layout/orientation is *not* torch-compatible (we never load
+torch weights); the transpose conv is expressed directly as an
+input-dilated convolution, which is its natural XLA form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == 2
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+    precision=None,
+    preferred_element_type=jnp.float32,
+) -> jax.Array:
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    ``padding`` is symmetric integer padding per spatial dim (torch style).
+    ``precision=None`` uses the backend default (bf16-through-MXU on TPU —
+    the fast training path); pass ``'highest'`` for full f32.
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride=1,
+    padding=0,
+    output_padding=0,
+    dilation=1,
+    groups: int = 1,
+    precision=None,
+    preferred_element_type=jnp.float32,
+) -> jax.Array:
+    """2-D transposed convolution with torch output-shape semantics.
+
+    Expressed as an input-dilated ("fractionally strided") convolution:
+    the input is dilated by ``stride`` and convolved with the kernel at
+    stride 1 using padding ``d*(k-1) - p`` (+ ``output_padding`` on the
+    trailing edge), which reproduces
+    ``out = (in-1)*s - 2p + d*(k-1) + output_padding + 1`` exactly.
+
+    ``kernel`` is HWIO with I = x's channel count and O = output channels
+    (already in forward orientation — no flipping needed, since weights
+    are trained in this parameterisation from scratch).
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    oph, opw = _pair(output_padding)
+    dh, dw = _pair(dilation)
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad_h = dh * (kh - 1) - ph
+    pad_w = dw * (kw - 1) - pw
+    assert pad_h >= 0 and pad_w >= 0, (
+        "conv_transpose2d requires d*(k-1) >= padding "
+        f"(got k={(kh, kw)}, d={(dh, dw)}, p={(ph, pw)})"
+    )
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((pad_h, pad_h + oph), (pad_w, pad_w + opw)),
+        lhs_dilation=(sh, sw),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def avg_pool2d(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
+    """Average pooling (reference SpectralTransform downsample,
+    layers/ffc/spectral_transform.py:47)."""
+    out = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return out / float(window * window)
+
+
+def upsample_nearest2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour x2 upsample (reference
+    layers/ffc/spectral_transform.py:45 ``nn.Upsample(scale_factor=2)``)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """NHWC -> NC global average (reference SELayer's AdaptiveAvgPool2d(1),
+    layers/ffc/spectral_transform.py:14)."""
+    return jnp.mean(x, axis=(1, 2))

@@ -1,0 +1,195 @@
+"""Orthonormal real 2-D Fourier transforms for NHWC feature maps.
+
+The reference computes its spectral pipeline with cuFFT
+(`torch.fft.rfftn(x, dim=(-2,-1), norm="ortho")` /
+`torch.fft.irfftn(..., s=HxW)`, reference layers/ffc/fourier_unity.py:38,56).
+On TPU the FFT is not the natural primitive — the MXU (128x128 systolic
+array) is. For the feature-map sizes this framework targets (H, W <= 256)
+an explicit DFT-as-matmul formulation runs the whole transform as dense
+matmuls on the MXU and lets XLA fuse it with the surrounding channel-mix
+matmul, which is both faster and fusion-friendlier than a generic FFT.
+
+Two interchangeable implementations are provided:
+
+  * ``impl="dft"``  — DFT-as-matmul (default on TPU). Precomputed
+    real/imaginary DFT factor matrices contracted with einsum; all FLOPs
+    land on the MXU.
+  * ``impl="fft"``  — ``jnp.fft.rfft2`` / ``irfft2`` (default on CPU/GPU,
+    and the golden reference for tests).
+
+Both are numerically equivalent (tested to ~1e-5 in f32) and share the
+orthonormal ("ortho") normalisation of the reference.
+
+Conventions: arrays are NHWC; the transform runs over the (H, W) axes.
+The half-spectrum keeps ``Wf = W//2 + 1`` columns, exactly like
+``rfft2``'s last-axis halving.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Impl = Literal["fft", "dft", "auto"]
+
+_DEFAULT_IMPL: Impl = "auto"
+
+
+def set_default_impl(impl: Impl) -> None:
+    """Set the process-wide default transform implementation."""
+    global _DEFAULT_IMPL
+    assert impl in ("fft", "dft", "auto")
+    _DEFAULT_IMPL = impl
+
+
+def resolve_impl(impl: Impl | None = None) -> str:
+    """Resolve "auto" to a concrete implementation for the default backend."""
+    impl = impl or _DEFAULT_IMPL
+    if impl != "auto":
+        return impl
+    # On TPU the MXU matmul formulation wins for the sizes we target;
+    # elsewhere the native FFT is faster.
+    return "dft" if jax.default_backend() == "tpu" else "fft"
+
+
+# ---------------------------------------------------------------------------
+# DFT factor matrices (host-side, cached; become on-device constants under jit)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _forward_factors(h: int, w: int) -> Tuple[np.ndarray, ...]:
+    """Real/imag parts of the orthonormal forward rDFT factor matrices.
+
+    Returns (ah, bh, cw, dw):
+      ah[u,p], bh[u,p]: re/im of exp(-2i*pi*u*p/H)            (H x H)
+      cw[p,v], dw[p,v]: re/im of exp(-2i*pi*v*p/W) for v < Wf  (W x Wf)
+    The 1/sqrt(H*W) ortho factor is folded into ah/bh.
+    """
+    wf = w // 2 + 1
+    u = np.arange(h)[:, None]
+    p = np.arange(h)[None, :]
+    ang_h = -2.0 * np.pi * (u * p % h) / h
+    scale = 1.0 / np.sqrt(h * w)
+    ah = (np.cos(ang_h) * scale).astype(np.float32)
+    bh = (np.sin(ang_h) * scale).astype(np.float32)
+    q = np.arange(w)[:, None]
+    v = np.arange(wf)[None, :]
+    ang_w = -2.0 * np.pi * (q * v % w) / w
+    cw = np.cos(ang_w).astype(np.float32)
+    dw = np.sin(ang_w).astype(np.float32)
+    return ah, bh, cw, dw
+
+
+@functools.lru_cache(maxsize=64)
+def _inverse_factors(h: int, w: int) -> Tuple[np.ndarray, ...]:
+    """Real/imag parts of the orthonormal inverse rDFT factor matrices.
+
+    Returns (eh_r, eh_i, fw_r, fw_i):
+      eh[p,u] = exp(+2i*pi*u*p/H) / sqrt(H*W)                  (H x H)
+      fw[q,v] = c_v * exp(+2i*pi*v*q/W), c = half-spectrum
+                duplication weights (1 for DC/Nyquist, else 2)  (W x Wf)
+
+    irfft2 semantics for arbitrary (non-hermitian) input are matched by
+    taking the real part of  eh @ X @ fw^T  (verified against jnp.fft
+    in tests).
+    """
+    wf = w // 2 + 1
+    p = np.arange(h)[:, None]
+    u = np.arange(h)[None, :]
+    ang_h = 2.0 * np.pi * (u * p % h) / h
+    scale = 1.0 / np.sqrt(h * w)
+    eh_r = (np.cos(ang_h) * scale).astype(np.float32)
+    eh_i = (np.sin(ang_h) * scale).astype(np.float32)
+    c = np.full((wf,), 2.0)
+    c[0] = 1.0
+    if w % 2 == 0:
+        c[-1] = 1.0
+    q = np.arange(w)[:, None]
+    v = np.arange(wf)[None, :]
+    ang_w = 2.0 * np.pi * (q * v % w) / w
+    fw_r = (np.cos(ang_w) * c[None, :]).astype(np.float32)
+    fw_i = (np.sin(ang_w) * c[None, :]).astype(np.float32)
+    return eh_r, eh_i, fw_r, fw_i
+
+
+# ---------------------------------------------------------------------------
+# Public transforms
+# ---------------------------------------------------------------------------
+
+
+def rfft2_ortho(
+    x: jax.Array, impl: Impl | None = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Orthonormal real 2-D DFT over the (H, W) axes of an NHWC array.
+
+    Returns ``(real, imag)`` each of shape (N, H, W//2+1, C). Splitting the
+    complex result into two real arrays keeps everything in real dtypes,
+    which XLA:TPU handles far better than complex64.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    if resolve_impl(impl) == "fft":
+        f = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
+        return jnp.real(f), jnp.imag(f)
+
+    ah, bh, cw, dw = (jnp.asarray(m) for m in _forward_factors(h, w))
+    x = x.astype(jnp.float32)
+    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    # W-axis half transform: t = x @ (cw + i dw)   -> (N, H, Wf, C)
+    t_r = ein("nhwc,wv->nhvc", x, cw)
+    t_i = ein("nhwc,wv->nhvc", x, dw)
+    # H-axis full transform: F = (ah + i bh) @ t
+    f_r = ein("uh,nhvc->nuvc", ah, t_r) - ein("uh,nhvc->nuvc", bh, t_i)
+    f_i = ein("uh,nhvc->nuvc", ah, t_i) + ein("uh,nhvc->nuvc", bh, t_r)
+    return f_r, f_i
+
+
+def irfft2_ortho(
+    f_r: jax.Array,
+    f_i: jax.Array,
+    s: Tuple[int, int],
+    impl: Impl | None = None,
+) -> jax.Array:
+    """Orthonormal inverse of :func:`rfft2_ortho`.
+
+    ``s = (H, W)`` is the spatial output size (like ``irfft2``'s ``s``).
+    Input shape (N, H, W//2+1, C); output (N, H, W, C) real.
+    """
+    h, w = s
+    if resolve_impl(impl) == "fft":
+        f = jax.lax.complex(f_r, f_i)
+        return jnp.fft.irfft2(f, s=s, axes=(-3, -2), norm="ortho")
+
+    eh_r, eh_i, fw_r, fw_i = (jnp.asarray(m) for m in _inverse_factors(h, w))
+    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    # P = eh @ F  (complex), over the H axis
+    p_r = ein("pu,nuvc->npvc", eh_r, f_r) - ein("pu,nuvc->npvc", eh_i, f_i)
+    p_i = ein("pu,nuvc->npvc", eh_r, f_i) + ein("pu,nuvc->npvc", eh_i, f_r)
+    # x = Re(P @ fw^T), over the Wf axis
+    return ein("npvc,wv->npwc", p_r, fw_r) - ein("npvc,wv->npwc", p_i, fw_i)
+
+
+def spectral_channel_mix(
+    f_r: jax.Array, f_i: jax.Array, kernel: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """The FourierUnit's 1x1 "conv" over stacked (re, im) channels.
+
+    The reference stacks real/imag as 2C channels and applies a bias-free
+    1x1 Conv2d(2C -> 2C) (reference layers/ffc/fourier_unity.py:40-45).
+    In the spectral half-plane a 1x1 conv is exactly a (2C, 2C) matmul
+    over the channel axis — pure MXU work.
+
+    ``kernel``: (2C, 2C), laid out as [re-block; im-block] on both axes
+    (i.e. input channel j is re of channel j for j < C, else im).
+    Returns mixed (real, imag), each (N, H, Wf, C).
+    """
+    c = f_r.shape[-1]
+    z = jnp.concatenate([f_r, f_i], axis=-1)  # (N, H, Wf, 2C)
+    z = jnp.einsum(
+        "nhvc,cd->nhvd", z, kernel, preferred_element_type=jnp.float32
+    )
+    return z[..., :c], z[..., c:]

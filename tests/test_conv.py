@@ -1,0 +1,71 @@
+"""Shape/geometry parity tests for NHWC conv ops vs torch formulas."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.ops import conv
+
+
+@pytest.mark.parametrize(
+    "hw,k,s,p",
+    [(32, 3, 1, 1), (32, 4, 2, 1), (48, 4, 2, 1), (32, 3, 2, 1), (9, 3, 1, 0)],
+)
+def test_conv2d_shapes_match_torch(hw, k, s, p):
+    x = jnp.zeros((2, hw, hw, 5))
+    kern = jnp.zeros((k, k, 5, 7))
+    out = conv.conv2d(x, kern, stride=s, padding=p)
+    expected = (hw + 2 * p - k) // s + 1
+    assert out.shape == (2, expected, expected, 7)
+
+
+@pytest.mark.parametrize(
+    "hw,k,s,p,op",
+    [(4, 4, 2, 1, 0), (8, 4, 2, 1, 0), (16, 3, 1, 1, 0), (8, 4, 2, 1, 1)],
+)
+def test_conv_transpose2d_shapes_match_torch(hw, k, s, p, op):
+    x = jnp.zeros((2, hw, hw, 5))
+    kern = jnp.zeros((k, k, 5, 7))
+    out = conv.conv_transpose2d(
+        x, kern, stride=s, padding=p, output_padding=op
+    )
+    expected = (hw - 1) * s - 2 * p + (k - 1) + op + 1
+    assert out.shape == (2, expected, expected, 7)
+
+
+def test_conv2d_values_match_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 10, 10).astype(np.float32)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)  # torch OIHW
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2, padding=1
+    ).numpy()
+    out = conv.conv2d(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # OIHW -> HWIO
+        stride=2,
+        padding=1,
+        precision="highest",
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=1e-4
+    )
+
+
+def test_avg_pool_and_upsample():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    pooled = conv.avg_pool2d(x)
+    assert pooled.shape == (1, 2, 2, 1)
+    np.testing.assert_allclose(np.asarray(pooled)[0, 0, 0, 0], (0 + 1 + 4 + 5) / 4)
+    up = conv.upsample_nearest2x(pooled)
+    assert up.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(up)[0, :2, :2, 0], np.asarray(pooled)[0, 0, 0, 0])
+
+
+def test_global_avg_pool():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 5, 6, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        conv.global_avg_pool(x), np.asarray(x).mean(axis=(1, 2)), atol=1e-6
+    )
