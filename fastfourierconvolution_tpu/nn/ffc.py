@@ -1,0 +1,434 @@
+"""Fast Fourier Convolution layers (Chi et al., NeurIPS 2020), TPU-native.
+
+Behavioral contract from the reference (layers/ffc/*.py), re-designed for
+XLA/TPU:
+
+  * the local/global signal is a ``(x_l, x_g)`` tuple where an absent
+    branch is ``None`` (the reference uses the scalar ``0``),
+  * channel-split arithmetic is exactly ``in_cg = int(in_ch * ratio_gin)``
+    etc. (reference layers/ffc/ffc.py:33-36),
+  * the FourierUnit runs rfft2(ortho) -> stacked re/im channel mix (a
+    (2C, 2C) matmul on the MXU) -> BN -> ReLU -> irfft2 (reference
+    layers/ffc/fourier_unity.py:32-58),
+  * SpectralTransform: optional stride-2 resample (AvgPool down / nearest
+    x2 up), SELayer gate on its input, 1x1 conv C->C/2 + BN + ReLU,
+    FourierUnit, residual 1x1 conv C/2->C on (x + fu(x)) (reference
+    layers/ffc/spectral_transform.py:77-109). The LFU branch is
+    constructed-but-disabled in the reference; here it is an explicit
+    ``enable_lfu`` flag that actually works when turned on.
+  * FFC / FFCTranspose: four cross-gating branches l2l/l2g/g2l (k x k
+    convs or transposed convs) and g2g (SpectralTransform), elided when a
+    side has zero channels (reference layers/ffc/ffc.py:44-99,
+    ffc_transpose.py:52-110).
+  * FFC_BN_ACT: FFC -> per-branch (conditional) BN -> per-branch
+    activation (reference layers/ffc/ffc_bn_act.py:40-82). ``use_sn``
+    applies spectral norm to the conv branches — note the reference's
+    ``uses_sn`` flag is accepted but unused there (ffc_bn_act.py:30,39);
+    here it is functional, default off for parity.
+
+Layout note: re/im spectral channels are concatenated [re | im] instead of
+the reference's per-channel interleave — equivalent up to a fixed
+permutation of the (randomly initialised) mix-kernel rows/columns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as conv_ops
+from ..ops import fourier
+from .layers import (
+    ACTIVATIONS,
+    BatchNorm,
+    ConditionalBatchNorm,
+    Conv2d,
+    ConvTranspose2d,
+    SELayer,
+    SNConv2d,
+    conv_init,
+)
+
+Branch = Optional[jax.Array]
+BranchPair = Tuple[Branch, Branch]
+
+
+def split_channels(channels: int, ratio: float) -> Tuple[int, int]:
+    """(local, global) channel counts — exact reference arithmetic
+    (layers/ffc/ffc.py:33-36)."""
+    c_g = int(channels * ratio)
+    return channels - c_g, c_g
+
+
+class FourierUnit(nn.Module):
+    """Spectral-domain channel mixer — the hot inner kernel.
+
+    rfft2(ortho) over (H, W); re/im concatenated to 2C channels; bias-free
+    (2C, 2C) channel mix (the reference's 1x1 Conv2d, fourier_unity.py:45)
+    computed as a single MXU matmul; BN + ReLU in the spectral domain;
+    irfft2 back to (H, W). With ``impl="dft"`` the transforms themselves
+    are MXU matmuls, so the entire unit is matmuls + one BN — XLA fuses
+    the elementwise tail.
+    """
+
+    channels: int  # in == out in every reference use
+    num_classes: int = 0
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool, y: Optional[jax.Array] = None
+    ) -> jax.Array:
+        h, w = x.shape[1], x.shape[2]
+        f_r, f_i = fourier.rfft2_ortho(x, impl=self.impl)
+        z = jnp.concatenate([f_r, f_i], axis=-1)  # (B, H, Wf, 2C)
+        kernel = self.param(
+            "mix_kernel", conv_init, (2 * self.channels, 2 * self.channels)
+        )
+        z = jnp.einsum(
+            "bhvc,cd->bhvd", z, kernel, preferred_element_type=jnp.float32
+        )
+        if self.num_classes > 1 and y is not None:
+            z = ConditionalBatchNorm(self.num_classes)(z, y, train)
+        else:
+            z = BatchNorm()(z, train)
+        z = nn.relu(z)
+        f_r, f_i = z[..., : self.channels], z[..., self.channels :]
+        return fourier.irfft2_ortho(f_r, f_i, s=(h, w), impl=self.impl)
+
+
+class SpectralTransform(nn.Module):
+    """Wraps the FourierUnit with resampling, SE gate and 1x1 bottleneck
+    (reference layers/ffc/spectral_transform.py:31-110)."""
+
+    out_channels: int
+    stride: int = 1
+    groups: int = 1
+    enable_lfu: bool = False
+    upsample: bool = False
+    num_classes: int = 0
+    use_se: bool = True
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool, y: Optional[jax.Array] = None
+    ) -> jax.Array:
+        if self.stride == 2:
+            x = (
+                conv_ops.upsample_nearest2x(x)
+                if self.upsample
+                else conv_ops.avg_pool2d(x)
+            )
+        if self.use_se:
+            x = SELayer()(x)
+        half = self.out_channels // 2
+        x = Conv2d(half, 1, groups=self.groups, use_bias=False)(x)
+        x = BatchNorm()(x, train)
+        x = nn.relu(x)
+
+        out = FourierUnit(half, num_classes=self.num_classes, impl=self.impl)(
+            x, train, y
+        )
+
+        if self.enable_lfu:
+            # Local Fourier Unit: quarter channels, 2x2 spatial patches
+            # folded into channels, FourierUnit, tiled back — the original
+            # FFC-paper recipe. The reference constructs the LFU but its
+            # forward use is commented out (spectral_transform.py:94-105);
+            # here the flag actually works (default off for parity).
+            c = x.shape[-1]
+            split = 2
+            xs = x[..., : c // 4]
+            xs = jnp.concatenate(jnp.split(xs, split, axis=1), axis=-1)
+            xs = jnp.concatenate(jnp.split(xs, split, axis=2), axis=-1)
+            xs = FourierUnit(c, impl=self.impl, name="lfu")(xs, train)
+            xs = jnp.tile(xs, (1, split, split, 1))
+        else:
+            xs = 0.0
+
+        out = Conv2d(self.out_channels, 1, groups=self.groups, use_bias=False)(
+            x + out + xs
+        )
+        return out
+
+
+class FFC(nn.Module):
+    """The FFC layer: local/global split with four cross-gating branches
+    (reference layers/ffc/ffc.py:10-99)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    ratio_gin: float
+    ratio_gout: float
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    enable_lfu: bool = False
+    num_classes: int = 0
+    use_sn: bool = False
+    impl: Optional[str] = None
+
+    def setup(self):
+        assert self.stride in (1, 2), "Stride should be 1 or 2."
+        in_cl, in_cg = split_channels(self.in_channels, self.ratio_gin)
+        out_cl, out_cg = split_channels(self.out_channels, self.ratio_gout)
+        self.in_cl, self.in_cg = in_cl, in_cg
+        self.out_cl, self.out_cg = out_cl, out_cg
+
+        def make_conv(cin, cout, name):
+            if cin == 0 or cout == 0:
+                return None
+            if self.use_sn:
+                return SNConv2d(
+                    cout,
+                    self.kernel_size,
+                    stride=self.stride,
+                    padding=self.padding,
+                    use_bias=self.use_bias,
+                    name=name,
+                )
+            return Conv2d(
+                cout,
+                self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                name=name,
+            )
+
+        self.convl2l = make_conv(in_cl, out_cl, "convl2l")
+        self.convl2g = make_conv(in_cl, out_cg, "convl2g")
+        self.convg2l = make_conv(in_cg, out_cl, "convg2l")
+        if in_cg > 0 and out_cg > 0:
+            self.convg2g = SpectralTransform(
+                out_cg,
+                stride=self.stride,
+                groups=1 if self.groups == 1 else self.groups // 2,
+                enable_lfu=self.enable_lfu,
+                upsample=False,
+                num_classes=self.num_classes,
+                impl=self.impl,
+                name="convg2g",
+            )
+        else:
+            self.convg2g = None
+
+    def _run(self, branch, x, train):
+        if branch is None or x is None:
+            return None
+        if isinstance(branch, SNConv2d):
+            return branch(x, train)
+        return branch(x)
+
+    def __call__(
+        self, x, train: bool, y: Optional[jax.Array] = None
+    ) -> BranchPair:
+        x_l, x_g = x if isinstance(x, tuple) else (x, None)
+        out_l, out_g = None, None
+        if self.ratio_gout != 1:
+            a = self._run(self.convl2l, x_l, train)
+            b = self._run(self.convg2l, x_g, train)
+            out_l = _add_opt(a, b)
+        if self.ratio_gout != 0:
+            a = self._run(self.convl2g, x_l, train)
+            b = (
+                self.convg2g(x_g, train, y)
+                if (self.convg2g is not None and x_g is not None)
+                else None
+            )
+            out_g = _add_opt(a, b)
+        return out_l, out_g
+
+
+class FFCTranspose(nn.Module):
+    """Upsampling twin of FFC: transposed convs on the conv branches and a
+    nearest-x2 SpectralTransform on g2g (reference
+    layers/ffc/ffc_transpose.py:10-110)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    ratio_gin: float
+    ratio_gout: float
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    enable_lfu: bool = False
+    num_classes: int = 0
+    impl: Optional[str] = None
+
+    def setup(self):
+        assert self.stride in (1, 2), "Stride should be 1 or 2."
+        in_cl, in_cg = split_channels(self.in_channels, self.ratio_gin)
+        out_cl, out_cg = split_channels(self.out_channels, self.ratio_gout)
+
+        def make_convt(cin, cout, name):
+            if cin == 0 or cout == 0:
+                return None
+            return ConvTranspose2d(
+                cout,
+                self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                output_padding=self.output_padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                name=name,
+            )
+
+        self.convl2l = make_convt(in_cl, out_cl, "convl2l")
+        self.convl2g = make_convt(in_cl, out_cg, "convl2g")
+        self.convg2l = make_convt(in_cg, out_cl, "convg2l")
+        if in_cg > 0 and out_cg > 0:
+            self.convg2g = SpectralTransform(
+                out_cg,
+                stride=self.stride,
+                groups=1 if self.groups == 1 else self.groups // 2,
+                enable_lfu=self.enable_lfu,
+                upsample=True,
+                num_classes=self.num_classes,
+                impl=self.impl,
+                name="convg2g",
+            )
+        else:
+            self.convg2g = None
+
+    def __call__(
+        self, x, train: bool, y: Optional[jax.Array] = None
+    ) -> BranchPair:
+        x_l, x_g = x if isinstance(x, tuple) else (x, None)
+        out_l, out_g = None, None
+        if self.ratio_gout != 1:
+            a = self.convl2l(x_l) if (self.convl2l is not None and x_l is not None) else None
+            b = self.convg2l(x_g) if (self.convg2l is not None and x_g is not None) else None
+            out_l = _add_opt(a, b)
+        if self.ratio_gout != 0:
+            a = self.convl2g(x_l) if (self.convl2g is not None and x_l is not None) else None
+            b = (
+                self.convg2g(x_g, train, y)
+                if (self.convg2g is not None and x_g is not None)
+                else None
+            )
+            out_g = _add_opt(a, b)
+        return out_l, out_g
+
+
+class FFC_BN_ACT(nn.Module):
+    """FFC (or FFCTranspose) -> per-branch BN -> per-branch activation —
+    the block the model zoo composes (reference layers/ffc/ffc_bn_act.py).
+
+    ``norm``: "batch" | "identity"; ``activation``: a key of ACTIVATIONS
+    (LeakyReLU gets the reference's 0.1 slope). With ``num_classes > 1``
+    and labels passed, BN becomes class-conditional
+    (reference layers/cond/ffc_bn_act_cond.py).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    ratio_gin: float
+    ratio_gout: float
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    norm: str = "identity"
+    activation: str = "identity"
+    enable_lfu: bool = False
+    upsampling: bool = False
+    use_sn: bool = False
+    num_classes: int = 0
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool, y: Optional[jax.Array] = None
+    ) -> BranchPair:
+        if self.upsampling:
+            ffc = FFCTranspose(
+                self.in_channels,
+                self.out_channels,
+                self.kernel_size,
+                self.ratio_gin,
+                self.ratio_gout,
+                stride=self.stride,
+                padding=self.padding,
+                output_padding=self.output_padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                enable_lfu=self.enable_lfu,
+                num_classes=self.num_classes,
+                impl=self.impl,
+                name="ffc",
+            )
+        else:
+            ffc = FFC(
+                self.in_channels,
+                self.out_channels,
+                self.kernel_size,
+                self.ratio_gin,
+                self.ratio_gout,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                enable_lfu=self.enable_lfu,
+                num_classes=self.num_classes,
+                use_sn=self.use_sn,
+                impl=self.impl,
+                name="ffc",
+            )
+        x_l, x_g = ffc(x, train, y)
+        act = ACTIVATIONS[self.activation]
+
+        def norm_act(v, name):
+            if v is None:
+                return None
+            if self.norm == "batch":
+                if self.num_classes > 1 and y is not None:
+                    v = ConditionalBatchNorm(self.num_classes, name=f"bn_{name}")(
+                        v, y, train
+                    )
+                else:
+                    v = BatchNorm(name=f"bn_{name}")(v, train)
+            return act(v)
+
+        return norm_act(x_l, "l"), norm_act(x_g, "g")
+
+
+def _add_opt(a: Branch, b: Branch) -> Branch:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def resize_output(x) -> jax.Array:
+    """Collapse an FFC tuple to one tensor: concat local+global channels
+    (reference layers/resizer.py:15-24)."""
+    if isinstance(x, tuple):
+        x_l, x_g = x
+        if x_g is None:
+            return x_l
+        if x_l is None:
+            return x_g
+        return jnp.concatenate([x_l, x_g], axis=-1)
+    return x

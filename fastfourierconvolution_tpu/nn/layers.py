@@ -1,0 +1,314 @@
+"""Building-block flax modules: spectral-normed layers, noise, attention.
+
+TPU-native re-designs of the reference's layer library (reference
+layers/*.py): NHWC layouts, explicit PRNG collections ("noise"), state in
+flax variable collections ("batch_stats" for BN running stats, "spectral"
+for SN power-iteration vectors) instead of in-place buffer mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as conv_ops
+from ..ops import spectral_norm as sn_ops
+
+# Reference init scheme (reference fgan_complete.py:22-31): convs N(0, 0.02),
+# BatchNorm scale N(1, 0.02) / bias 0. Linear layers keep torch's default
+# kaiming-uniform, i.e. U(+-sqrt(1/fan_in)).
+conv_init = nn.initializers.normal(stddev=0.02)
+dense_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-compatible hyper-parameters.
+
+    torch defaults: eps 1e-5, running-stat momentum 0.1 (i.e. flax
+    momentum 0.9); reference weights_init draws scale from N(1, 0.02).
+    Running stats live in the "batch_stats" collection; train mode uses
+    batch statistics, eval mode the running averages — the asymmetry the
+    reference's uint8 eval-output contract depends on.
+    """
+
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            use_scale=self.use_scale_bias,
+            use_bias=self.use_scale_bias,
+            scale_init=bn_scale_init,
+        )(x)
+
+
+class ConditionalBatchNorm(nn.Module):
+    """Class-conditional BN (reference layers/cond/cond_bn.py:5-23).
+
+    BN without affine params + per-class (gamma, beta) from an embedding
+    table; gamma init N(1, 0.02), beta init 0.
+    """
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array, train: bool) -> jax.Array:
+        c = x.shape[-1]
+        out = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            use_scale=False,
+            use_bias=False,
+        )(x)
+        gamma_tbl = self.param(
+            "gamma", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (self.num_classes, c)
+        )
+        beta_tbl = self.param("beta", nn.initializers.zeros, (self.num_classes, c))
+        y = y.reshape(-1).astype(jnp.int32)
+        gamma = gamma_tbl[y][:, None, None, :]
+        beta = beta_tbl[y][:, None, None, :]
+        return gamma * out + beta
+
+
+def _sn_u_init(key, rows: int) -> jax.Array:
+    u = jax.random.normal(key, (rows,))
+    return u / (jnp.linalg.norm(u) + 1e-12)
+
+
+class _SpectralMixin:
+    """Shared spectral-norm application over a kernel param.
+
+    Semantics: one power iteration per training forward, stored ``u``
+    reused at eval (reference torch.nn.utils.spectral_norm;
+    benchmark_models/sagan/spectral.py:23-35). ``u`` lives in the
+    "spectral" variable collection — callers pass
+    ``mutable=["spectral", ...]`` during training.
+    """
+
+    def _apply_sn(self, kernel: jax.Array, train: bool) -> jax.Array:
+        rows = kernel.shape[-1]
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: _sn_u_init(self.make_rng("params"), rows),
+        )
+        w_norm, u_new = sn_ops.spectral_normalize(
+            kernel, u_var.value, update=train
+        )
+        if train and not self.is_initializing():
+            u_var.value = u_new
+        return w_norm
+
+
+class SNDense(nn.Module, _SpectralMixin):
+    """Spectral-normalised linear layer."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = dense_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
+        )
+        kernel = self._apply_sn(kernel, train)
+        y = x @ kernel
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class SNConv2d(nn.Module, _SpectralMixin):
+    """Spectral-normalised 2-D convolution (NHWC)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
+        )
+        kernel = self._apply_sn(kernel, train)
+        y = conv_ops.conv2d(x, kernel, stride=self.stride, padding=self.padding)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class Conv2d(nn.Module):
+    """Plain 2-D convolution (NHWC), reference-init."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, x.shape[-1] // self.groups, self.features),
+        )
+        y = conv_ops.conv2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed 2-D convolution with torch output geometry (NHWC)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, x.shape[-1] // self.groups, self.features),
+        )
+        y = conv_ops.conv_transpose2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class NoiseInjection(nn.Module):
+    """StyleGAN-style learnable noise (reference layers/noise_injection.py:20-31).
+
+    Adds ``weight * N(0,1)`` single-channel spatial noise; per-channel
+    weight initialised to zero. Noise is drawn from the "noise" PRNG
+    collection.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.zeros, (1, 1, 1, c))
+        noise = jax.random.normal(
+            self.make_rng("noise"), (x.shape[0], x.shape[1], x.shape[2], 1)
+        )
+        return x + weight * noise
+
+
+class GaussianNoise(nn.Module):
+    """Input-noise regulariser, active only in training
+    (reference layers/gaussian_noise.py:6-15)."""
+
+    stddev: float = 0.05
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if not train or self.stddev == 0.0:
+            return x
+        noise = self.stddev * jax.random.normal(
+            self.make_rng("noise"), x.shape
+        )
+        return x + noise
+
+
+class SelfAttention(nn.Module):
+    """SAGAN self-attention (reference layers/attention_layer.py:8-40).
+
+    q/k project to C/8, softmax over the key axis, residual scaled by a
+    learnable scalar gamma initialised at 0. The N x N attention matrix is
+    two batched matmuls — MXU-friendly at the <=64x64 maps this runs on.
+    Returns ``(out, attention)`` like the reference.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        b, h, w, c = x.shape
+        n = h * w
+        q = Conv2d(c // 8, 1, use_bias=True)(x).reshape(b, n, c // 8)
+        k = Conv2d(c // 8, 1, use_bias=True)(x).reshape(b, n, c // 8)
+        v = Conv2d(c, 1, use_bias=True)(x).reshape(b, n, c)
+        energy = jnp.einsum(
+            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(energy, axis=-1)
+        out = jnp.einsum(
+            "bij,bjc->bic", attn, v, preferred_element_type=jnp.float32
+        )
+        out = out.reshape(b, h, w, c)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma * out + x, attn
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excite gate (reference layers/ffc/spectral_transform.py:12-28)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        hidden = max(c // self.reduction, 1)
+        y = conv_ops.global_avg_pool(x)  # (B, C)
+        y = nn.Dense(hidden, use_bias=False, kernel_init=dense_init)(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=dense_init)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+# Activation registry (reference passes activation classes around;
+# FFC_BN_ACT gives LeakyReLU slope 0.1, reference layers/ffc/ffc_bn_act.py:66-67).
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "identity": lambda x: x,
+    "relu": nn.relu,
+    # exact (erf) gelu, matching torch nn.GELU's default
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
+    "leaky_relu_0.2": lambda x: nn.leaky_relu(x, negative_slope=0.2),
+    "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid,
+}

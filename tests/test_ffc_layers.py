@@ -1,0 +1,173 @@
+"""FFC layer-family tests: channel-split arithmetic, shapes, branch
+elision, statefulness (BN running stats, SN u updates), noise RNG."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fastfourierconvolution_tpu.nn as fnn
+from fastfourierconvolution_tpu.nn.ffc import split_channels
+
+
+@pytest.mark.parametrize(
+    "c,r,expected",
+    [(64, 0.25, (48, 16)), (64, 0.5, (32, 32)), (3, 0.0, (3, 0)),
+     (10, 0.3, (7, 3)), (256, 0.25, (192, 64))],
+)
+def test_split_channels_reference_arithmetic(c, r, expected):
+    # int(c * ratio) truncation, exactly like reference ffc.py:33-36
+    assert split_channels(c, r) == expected
+
+
+def _init_and_apply(module, x, train=True, y=None, rngs=None):
+    rngs = rngs or {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    variables = module.init(rngs, x, train, y) if y is not None else module.init(rngs, x, train)
+    mutable = ["batch_stats", "spectral"]
+    args = (x, train, y) if y is not None else (x, train)
+    out, updates = module.apply(
+        variables, *args, rngs={"noise": rngs["noise"]}, mutable=mutable
+    )
+    return out, variables, updates
+
+
+def test_fourier_unit_shape_and_finiteness():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 8).astype(np.float32))
+    fu = fnn.FourierUnit(channels=8)
+    out, _, _ = _init_and_apply(fu, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectral_transform_stride2_down_and_up():
+    x = jnp.zeros((2, 16, 16, 8))
+    st_down = fnn.SpectralTransform(out_channels=12, stride=2, upsample=False)
+    out, _, _ = _init_and_apply(st_down, x)
+    assert out.shape == (2, 8, 8, 12)
+    st_up = fnn.SpectralTransform(out_channels=12, stride=2, upsample=True)
+    out, _, _ = _init_and_apply(st_up, x)
+    assert out.shape == (2, 32, 32, 12)
+
+
+def test_ffc_branch_shapes():
+    x_l = jnp.zeros((2, 16, 16, 24))
+    x_g = jnp.zeros((2, 16, 16, 8))
+    ffc = fnn.FFC(32, 64, 3, ratio_gin=0.25, ratio_gout=0.25, padding=1)
+    (out_l, out_g), _, _ = _init_and_apply(ffc, (x_l, x_g))
+    assert out_l.shape == (2, 16, 16, 48)
+    assert out_g.shape == (2, 16, 16, 16)
+
+
+def test_ffc_elides_missing_branches():
+    # ratio_gin=0, ratio_gout=0: pure local conv, no spectral params
+    x = jnp.zeros((2, 16, 16, 8))
+    ffc = fnn.FFC(8, 16, 3, ratio_gin=0.0, ratio_gout=0.0, padding=1)
+    (out_l, out_g), variables, _ = _init_and_apply(ffc, (x, None))
+    assert out_g is None
+    assert out_l.shape == (2, 16, 16, 16)
+    names = set(variables["params"].keys())
+    assert names == {"convl2l"}, names
+
+
+def test_ffc_ratio1_global_only():
+    x_g = jnp.zeros((2, 8, 8, 16))
+    ffc = fnn.FFC(16, 16, 3, ratio_gin=1.0, ratio_gout=1.0, padding=1)
+    (out_l, out_g), variables, _ = _init_and_apply(ffc, (None, x_g))
+    assert out_l is None
+    assert out_g.shape == (2, 8, 8, 16)
+    assert set(variables["params"].keys()) == {"convg2g"}
+
+
+def test_ffc_transpose_upsamples_2x():
+    x_l = jnp.zeros((2, 8, 8, 24))
+    x_g = jnp.zeros((2, 8, 8, 8))
+    ffct = fnn.FFCTranspose(32, 16, 4, ratio_gin=0.25, ratio_gout=0.25,
+                            stride=2, padding=1)
+    (out_l, out_g), _, _ = _init_and_apply(ffct, (x_l, x_g))
+    assert out_l.shape == (2, 16, 16, 12)
+    assert out_g.shape == (2, 16, 16, 4)
+
+
+def test_ffc_bn_act_full_block():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 32).astype(np.float32))
+    blk = fnn.FFC_BN_ACT(32, 16, 4, ratio_gin=0.0, ratio_gout=0.25, stride=2,
+                         padding=1, norm="batch", activation="gelu",
+                         upsampling=True)
+    (out_l, out_g), _, updates = _init_and_apply(blk, (x, None))
+    assert out_l.shape == (2, 16, 16, 12)
+    assert out_g.shape == (2, 16, 16, 4)
+    # BN running stats must update in train mode
+    assert "batch_stats" in updates
+    flat = flax.traverse_util.flatten_dict(updates["batch_stats"])
+    assert any(np.abs(np.asarray(v)).sum() > 0 for k, v in flat.items() if k[-1] == "mean")
+
+
+def test_conditional_bn_path():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 16).astype(np.float32))
+    y = jnp.asarray([0, 1, 2, 3])
+    blk = fnn.FFC_BN_ACT(16, 16, 3, ratio_gin=0.25, ratio_gout=0.25, padding=1,
+                         norm="batch", activation="relu", num_classes=10)
+    (out_l, out_g), variables, _ = _init_and_apply(blk, (x[..., :12], x[..., 12:]), y=y)
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    assert any("gamma" in k for k in flat), "conditional BN gamma table missing"
+    assert out_l.shape == (4, 8, 8, 12)
+
+
+def test_sn_conv_updates_u_in_train_only():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4).astype(np.float32))
+    m = fnn.SNConv2d(8, 3, padding=1)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, True)
+    u0 = np.asarray(variables["spectral"]["u"])
+    _, ups = m.apply(variables, x, True, mutable=["spectral"])
+    u1 = np.asarray(ups["spectral"]["u"])
+    assert not np.allclose(u0, u1)
+    _, ups = m.apply(variables, x, False, mutable=["spectral"])
+    u2 = np.asarray(ups["spectral"]["u"])
+    np.testing.assert_array_equal(u0, u2)
+
+
+def test_noise_injection_zero_at_init():
+    # weight starts at zero => output == input (reference noise_injection.py)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4).astype(np.float32))
+    m = fnn.NoiseInjection()
+    variables = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    out = m.apply(variables, x, rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_gaussian_noise_train_eval():
+    x = jnp.zeros((2, 4, 4, 3))
+    m = fnn.GaussianNoise(stddev=0.5)
+    variables = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x, True)
+    out_train = m.apply(variables, x, True, rngs={"noise": jax.random.PRNGKey(2)})
+    out_eval = m.apply(variables, x, False, rngs={"noise": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(out_train)).sum() > 0
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(x))
+
+
+def test_self_attention_residual_identity_at_init():
+    # gamma starts at 0 => out == x
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16).astype(np.float32))
+    m = fnn.SelfAttention()
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out, attn = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+    assert attn.shape == (2, 64, 64)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+
+
+def test_resize_output():
+    a = jnp.ones((1, 2, 2, 3))
+    b = jnp.zeros((1, 2, 2, 5))
+    assert fnn.resize_output((a, None)).shape == (1, 2, 2, 3)
+    assert fnn.resize_output((a, b)).shape == (1, 2, 2, 8)
+    assert fnn.resize_output(a).shape == (1, 2, 2, 3)
+
+
+def test_lfu_enabled_works():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16).astype(np.float32))
+    st = fnn.SpectralTransform(out_channels=16, enable_lfu=True)
+    out, _, _ = _init_and_apply(st, x)
+    assert out.shape == (2, 16, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
