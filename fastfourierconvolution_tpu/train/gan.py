@@ -1,0 +1,318 @@
+"""GAN training: state container + one fully jitted update step.
+
+Replicates the behavioral contract of the reference's hot loop
+(reference fgan_complete.py:357-406): per global step, one generator
+update followed by ``num_dis_updates`` discriminator updates, each on a
+fresh z batch, hinge losses, AdamW(lr, betas=(0.5, 0.999)) with linear
+lr decay ``1 - step/total`` (LambdaLR, fgan_complete.py:315-319).
+
+TPU-native design:
+  * the whole (G-step + D-steps) sequence is ONE jitted function — no
+    host round-trips between sub-updates;
+  * all stochastic state flows from an explicit PRNG key carried in the
+    train state;
+  * BN running stats and spectral-norm u vectors are carried as
+    collections and threaded through every forward exactly as torch's
+    in-place buffer updates would (G's BN stats update during both the
+    G-step and the D-step forwards; D's SN u advances on every D forward
+    in train mode);
+  * data parallelism comes from jit + NamedSharding on the batch — XLA
+    inserts the gradient all-reduce over ICI (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from . import losses as L
+
+
+@struct.dataclass
+class NetState:
+    """Parameters + auxiliary collections for one network."""
+
+    params: Any
+    batch_stats: Any
+    spectral: Any
+    opt_state: Any
+
+
+@struct.dataclass
+class GANState:
+    step: jax.Array
+    g: NetState
+    d: NetState
+    rng: jax.Array
+
+
+def linear_decay_schedule(base_lr: float, total_steps: int):
+    """lr(step) = base_lr * (1 - step/total): the reference LambdaLR."""
+
+    def schedule(step):
+        frac = 1.0 - step.astype(jnp.float32) / float(total_steps)
+        return base_lr * jnp.maximum(frac, 0.0)
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float = 2e-4,
+    total_steps: int = 100_000,
+    b1: float = 0.5,
+    b2: float = 0.999,
+    weight_decay: float = 0.01,
+    kind: str = "adamw",
+) -> optax.GradientTransformation:
+    """AdamW with linear decay (reference fgan_complete.py:315-319);
+    ``kind='adam'`` for the sngan_complete/train_cond recipes."""
+    schedule = linear_decay_schedule(lr, total_steps)
+    if kind == "adamw":
+        return optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    if kind == "adam":
+        return optax.adam(schedule, b1=b1, b2=b2)
+    raise ValueError(kind)
+
+
+LOSS_PAIRS = {
+    "hinge": (L.hinge_loss_gen, L.hinge_loss_dis),
+    "bce": (L.bce_loss_gen, L.bce_loss_dis),
+    "wgan": (L.wgan_loss_gen, L.wgan_loss_dis),
+}
+
+
+class GANTrainer:
+    """Builds init/update functions for a (generator, discriminator) pair.
+
+    ``g_model``/``d_model`` are flax modules with signature
+    ``__call__(x, train)`` (or ``(x, train, y)`` when ``conditional``).
+    """
+
+    def __init__(
+        self,
+        g_model,
+        d_model,
+        z_size: int = 128,
+        lr: float = 2e-4,
+        total_steps: int = 100_000,
+        num_dis_updates: int = 1,
+        loss: str = "hinge",
+        optimizer: str = "adamw",
+        b1: float = 0.5,
+        b2: float = 0.999,
+        conditional: bool = False,
+        num_classes: int = 0,
+        d_lr: Optional[float] = None,
+    ):
+        self.g_model = g_model
+        self.d_model = d_model
+        self.z_size = z_size
+        self.num_dis_updates = num_dis_updates
+        self.conditional = conditional
+        self.num_classes = num_classes
+        self.gen_loss, self.dis_loss = LOSS_PAIRS[loss]
+        self.g_tx = make_optimizer(lr, total_steps, b1, b2, kind=optimizer)
+        # D's optax step count advances num_dis_updates times per global
+        # step; stretch its schedule so the per-global-step decay matches
+        # the reference's once-per-step scheduler_D.step().
+        self.d_tx = make_optimizer(
+            d_lr or lr, total_steps * num_dis_updates, b1, b2, kind=optimizer
+        )
+
+    # -- helpers -------------------------------------------------------------
+
+    def _g_vars(self, g: NetState) -> Dict:
+        v = {"params": g.params}
+        if g.batch_stats is not None:
+            v["batch_stats"] = g.batch_stats
+        if g.spectral is not None:
+            v["spectral"] = g.spectral
+        return v
+
+    def _apply_g(self, g_vars, z, rng, train=True, y=None):
+        mutable = [k for k in ("batch_stats", "spectral") if k in g_vars]
+        args = (z, train, y) if self.conditional else (z, train)
+        out, updates = self.g_model.apply(
+            g_vars, *args, rngs={"noise": rng}, mutable=mutable
+        )
+        return out, updates
+
+    def _apply_d(self, d_vars, x, train=True, y=None, rng=None):
+        mutable = [k for k in ("batch_stats", "spectral") if k in d_vars]
+        args = (x, train, y) if self.conditional else (x, train)
+        rngs = {"noise": rng} if rng is not None else None
+        out, updates = self.d_model.apply(
+            d_vars, *args, rngs=rngs, mutable=mutable
+        )
+        return out, updates
+
+    @staticmethod
+    def _merge(vars_dict, updates):
+        merged = dict(vars_dict)
+        merged.update(updates)
+        return merged
+
+    # -- init ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_batch: jax.Array) -> GANState:
+        """Initialise both networks' variables and optimizers.
+
+        ``sample_batch``: a (B, H, W, C) array with the real-data shape
+        (only shapes/dtypes matter).
+        """
+        rng, g_rng, d_rng, z_rng, n_rng = jax.random.split(rng, 5)
+        b = sample_batch.shape[0]
+        z = jax.random.normal(z_rng, (b, self.z_size))
+        y = (
+            jnp.zeros((b,), jnp.int32)
+            if self.conditional
+            else None
+        )
+        g_args = (z, True, y) if self.conditional else (z, True)
+        g_variables = self.g_model.init(
+            {"params": g_rng, "noise": n_rng}, *g_args
+        )
+        d_args = (
+            (sample_batch, True, y) if self.conditional else (sample_batch, True)
+        )
+        d_variables = self.d_model.init(
+            {"params": d_rng, "noise": n_rng}, *d_args
+        )
+
+        def net_state(variables, tx):
+            params = variables["params"]
+            return NetState(
+                params=params,
+                batch_stats=variables.get("batch_stats"),
+                spectral=variables.get("spectral"),
+                opt_state=tx.init(params),
+            )
+
+        return GANState(
+            step=jnp.zeros((), jnp.int32),
+            g=net_state(g_variables, self.g_tx),
+            d=net_state(d_variables, self.d_tx),
+            rng=rng,
+        )
+
+    # -- one global step ---------------------------------------------------------
+
+    def update_step(
+        self, state: GANState, real: jax.Array, labels: Optional[jax.Array] = None
+    ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        """One generator update + num_dis_updates discriminator updates.
+
+        Jit this (optionally with shardings); it is pure.
+        """
+        rng = state.rng
+        b = real.shape[0]
+
+        # ---- generator update -------------------------------------------------
+        rng, z_rng, noise_rng, d_noise_rng = jax.random.split(rng, 4)
+        z = jax.random.normal(z_rng, (b, self.z_size))
+        g_aux_in = self._g_vars(state.g)
+        d_vars = self._g_vars(state.d)
+
+        def g_loss_fn(g_params):
+            g_vars = dict(g_aux_in)
+            g_vars["params"] = g_params
+            fake, g_updates = self._apply_g(g_vars, z, noise_rng, y=labels)
+            logits, d_updates = self._apply_d(
+                d_vars, fake, y=labels, rng=d_noise_rng
+            )
+            return self.gen_loss(logits), (g_updates, d_updates)
+
+        (loss_g, (g_updates, d_updates)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g.params)
+
+        g_upd, g_opt_state = self.g_tx.update(
+            g_grads, state.g.opt_state, state.g.params
+        )
+        g_params = optax.apply_updates(state.g.params, g_upd)
+        g_state = NetState(
+            params=g_params,
+            batch_stats=g_updates.get("batch_stats", state.g.batch_stats),
+            spectral=g_updates.get("spectral", state.g.spectral),
+            opt_state=g_opt_state,
+        )
+        d_state = NetState(
+            params=state.d.params,
+            batch_stats=d_updates.get("batch_stats", state.d.batch_stats),
+            spectral=d_updates.get("spectral", state.d.spectral),
+            opt_state=state.d.opt_state,
+        )
+
+        # ---- discriminator updates -------------------------------------------
+        loss_d = jnp.zeros(())
+        for _ in range(self.num_dis_updates):
+            rng, z_rng, noise_rng, dn1, dn2 = jax.random.split(rng, 5)
+            z = jax.random.normal(z_rng, (b, self.z_size))
+            g_vars = self._g_vars(g_state)
+            fake, g_updates = self._apply_g(g_vars, z, noise_rng, y=labels)
+            fake = jax.lax.stop_gradient(fake)
+            g_state = g_state.replace(
+                batch_stats=g_updates.get("batch_stats", g_state.batch_stats),
+                spectral=g_updates.get("spectral", g_state.spectral),
+            )
+            d_aux_in = self._g_vars(d_state)
+
+            def d_loss_fn(d_params):
+                dv = dict(d_aux_in)
+                dv["params"] = d_params
+                fake_logits, upd1 = self._apply_d(dv, fake, y=labels, rng=dn1)
+                dv2 = self._merge(dv, upd1)
+                real_logits, upd2 = self._apply_d(dv2, real, y=labels, rng=dn2)
+                return (
+                    self.dis_loss(fake_logits, real_logits),
+                    self._merge(upd1, upd2),
+                )
+
+            (loss_d, d_updates), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_state.params)
+            d_upd, d_opt_state = self.d_tx.update(
+                d_grads, d_state.opt_state, d_state.params
+            )
+            d_params = optax.apply_updates(d_state.params, d_upd)
+            d_state = NetState(
+                params=d_params,
+                batch_stats=d_updates.get("batch_stats", d_state.batch_stats),
+                spectral=d_updates.get("spectral", d_state.spectral),
+                opt_state=d_opt_state,
+            )
+
+        new_state = GANState(
+            step=state.step + 1, g=g_state, d=d_state, rng=rng
+        )
+        metrics = {"loss_g": loss_g, "loss_d": loss_d}
+        return new_state, metrics
+
+    # -- sampling ----------------------------------------------------------------
+
+    def generate(
+        self,
+        state: GANState,
+        z: jax.Array,
+        labels: Optional[jax.Array] = None,
+        uint8: bool = False,
+    ) -> jax.Array:
+        """Eval-mode generation (BN running stats, no noise injection);
+        ``uint8=True`` applies the metric-pipeline output contract."""
+        g_vars = self._g_vars(state.g)
+        args = (z, False, labels) if self.conditional else (z, False)
+        out = self.g_model.apply(
+            g_vars, *args, rngs={"noise": jax.random.PRNGKey(0)}
+        )
+        if uint8:
+            from ..models.ffc_gan import to_uint8
+
+            out = to_uint8(out)
+        return out

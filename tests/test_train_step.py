@@ -1,0 +1,116 @@
+"""End-to-end GAN train-step tests: the flagship FFC generator + SN
+discriminator pair, jitted, on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.models import (
+    FFCGenerator,
+    SNConvDiscriminator,
+    to_uint8,
+)
+from fastfourierconvolution_tpu.train import GANTrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer_and_state():
+    # mg=2 -> 16x16 output; small ngf to keep CPU tests quick
+    g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2, channel_mults=(4, 2, 1))
+    d = SNConvDiscriminator(
+        ladder=((16, 3, 1), (16, 4, 2), (32, 4, 2), (64, 4, 2)), mg=2
+    )
+    trainer = GANTrainer(g, d, z_size=32, total_steps=100)
+    real = jnp.zeros((8, 16, 16, 3))
+    state = trainer.init(jax.random.PRNGKey(0), real)
+    return trainer, state
+
+
+def test_generator_output_shape(tiny_trainer_and_state):
+    trainer, state = tiny_trainer_and_state
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    out = trainer.generate(state, z)
+    assert out.shape == (4, 16, 16, 3)
+    assert np.asarray(out).min() >= -1.0 and np.asarray(out).max() <= 1.0
+
+
+def test_uint8_eval_contract(tiny_trainer_and_state):
+    trainer, state = tiny_trainer_and_state
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    out = trainer.generate(state, z, uint8=True)
+    assert out.dtype == jnp.uint8
+    x = jnp.asarray([-1.5, -1.0, 0.0, 1.0, 1.5])
+    np.testing.assert_array_equal(np.asarray(to_uint8(x)), [0, 0, 127, 255, 255])
+
+
+def test_update_step_changes_params_and_decreases_nothing_nan(
+    tiny_trainer_and_state,
+):
+    trainer, state = tiny_trainer_and_state
+    real = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 16, 3))
+    real = jnp.tanh(real)
+    step = jax.jit(trainer.update_step)
+    new_state, metrics = step(state, real)
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert np.isfinite(float(metrics["loss_d"]))
+    assert int(new_state.step) == 1
+
+    def l2_diff(a, b):
+        fa, _ = jax.flatten_util.ravel_pytree(a)
+        fb, _ = jax.flatten_util.ravel_pytree(b)
+        return float(jnp.linalg.norm(fa - fb))
+
+    assert l2_diff(state.g.params, new_state.g.params) > 0
+    assert l2_diff(state.d.params, new_state.d.params) > 0
+    # SN u vectors advanced
+    assert l2_diff(state.d.spectral, new_state.d.spectral) > 0
+    # BN running stats advanced
+    assert l2_diff(state.g.batch_stats, new_state.g.batch_stats) > 0
+    # several consecutive steps stay finite
+    for _ in range(3):
+        new_state, metrics = step(new_state, real)
+    assert np.isfinite(float(metrics["loss_g"]))
+    fg, _ = jax.flatten_util.ravel_pytree(new_state.g.params)
+    assert np.isfinite(np.asarray(fg)).all()
+
+
+def test_num_dis_updates(tiny_trainer_and_state):
+    g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2, channel_mults=(4, 2, 1))
+    d = SNConvDiscriminator(
+        ladder=((16, 3, 1), (16, 4, 2), (32, 4, 2), (64, 4, 2)), mg=2
+    )
+    trainer = GANTrainer(g, d, z_size=32, total_steps=100, num_dis_updates=2)
+    real = jnp.zeros((4, 16, 16, 3))
+    state = trainer.init(jax.random.PRNGKey(0), real)
+    new_state, metrics = jax.jit(trainer.update_step)(state, real)
+    assert np.isfinite(float(metrics["loss_d"]))
+
+
+def test_linear_lr_decay_schedule():
+    from fastfourierconvolution_tpu.train.gan import linear_decay_schedule
+
+    sched = linear_decay_schedule(2e-4, 100)
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 2e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(50))), 1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(100))), 0.0)
+    np.testing.assert_allclose(float(sched(jnp.asarray(200))), 0.0)
+
+
+def test_bce_dcgan_pair():
+    from fastfourierconvolution_tpu.models import (
+        DCGANDiscriminator,
+        DCGANGenerator,
+    )
+
+    g = DCGANGenerator(nz=16, nc=3, ngf=8)
+    d = DCGANDiscriminator(nc=3, ndf=8)
+    trainer = GANTrainer(
+        g, d, z_size=16, total_steps=100, loss="bce", optimizer="adam"
+    )
+    real = jnp.zeros((4, 64, 64, 3))
+    state = trainer.init(jax.random.PRNGKey(0), real)
+    out = trainer.generate(state, jax.random.normal(jax.random.PRNGKey(1), (2, 16)))
+    assert out.shape == (2, 64, 64, 3)
+    new_state, metrics = jax.jit(trainer.update_step)(state, real)
+    assert np.isfinite(float(metrics["loss_g"]))
