@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: dp x tp meshes, shardings, jitted train steps."""
+
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    params_shardings,
+    replicated,
+    state_shardings,
+)

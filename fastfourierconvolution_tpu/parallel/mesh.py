@@ -1,0 +1,136 @@
+"""Device meshes and sharding rules.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(reference train_cond.py:67-68,101-102). The TPU-native equivalent is a
+``jax.sharding.Mesh`` with jit-compiled collectives over ICI:
+
+  * **data axis ("dp")** — the batch dimension of real images, z vectors
+    and labels is sharded; parameters are replicated; XLA inserts the
+    gradient all-reduce (psum over ICI) automatically because the jitted
+    loss reduces over the full logical batch. BatchNorm statistics are
+    likewise computed over the full logical batch (sync-BN semantics;
+    the reference's DataParallel computes per-replica stats — divergence
+    documented in SURVEY §5.8, sync-BN is strictly better behaved).
+  * **tensor axis ("tp")** — optional: large generator stems and the
+    FourierUnit channel-mix kernels are sharded over output features,
+    with XLA managing the boundary collectives.
+
+Everything here works identically on a real TPU pod slice and on a
+virtual CPU mesh (``--xla_force_host_platform_device_count``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_tensor: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (dp, tp) mesh. Defaults: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_tensor
+    assert n_data * n_tensor <= len(devices), (
+        f"mesh {n_data}x{n_tensor} needs {n_data * n_tensor} devices, "
+        f"have {len(devices)}"
+    )
+    arr = np.asarray(devices[: n_data * n_tensor]).reshape(n_data, n_tensor)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp; replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# --- parameter partition rules ----------------------------------------------
+
+# (regex on 'path/to/param', PartitionSpec) — first match wins; default
+# replicated. Rules shard the big MXU matmuls of the FFC stack:
+#   * generator stem Dense kernel (z_size, mg*mg*ngf*8): shard out-features
+#   * FourierUnit mix kernels (2C, 2C): shard out-features
+#   * discriminator fc kernel (mg*mg*512, 1): replicate (tiny)
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*noise_to_feature.*/kernel$", P(None, "tp")),
+    (r".*mix_kernel$", P(None, "tp")),
+)
+
+
+def params_shardings(mesh: Mesh, params) -> object:
+    """A pytree of NamedShardings for ``params`` under the tp rules.
+
+    With ``n_tensor == 1`` every rule degenerates to full replication, so
+    the same code path serves pure-dp and dp x tp runs.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path) -> P:
+        name = "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, name):
+                # check divisibility; fall back to replication otherwise
+                return spec
+        return P()
+
+    def shard_one(path, leaf):
+        spec = spec_for(path)
+        # Only apply tp sharding when the dimension divides evenly.
+        if spec != P():
+            dim = [i for i, ax in enumerate(spec) if ax == "tp"]
+            tp_size = mesh.shape["tp"]
+            if dim and (leaf.ndim <= dim[0] or leaf.shape[dim[0]] % tp_size):
+                spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(shard_one, params)
+
+
+def state_shardings(mesh: Mesh, state, g_tx=None, d_tx=None) -> object:
+    """Shardings for a full GANState: params per the tp rules, optimizer
+    moments mirroring their params (via optax.tree_map_params), every
+    other leaf replicated."""
+    import optax
+
+    from ..train.gan import GANState, NetState  # local import, no cycle
+
+    rep = replicated(mesh)
+
+    def net(n: NetState, tx) -> NetState:
+        p_shard = params_shardings(mesh, n.params)
+        if tx is not None:
+            opt_shard = optax.tree_map_params(
+                tx,
+                lambda _leaf, shard: shard,
+                n.opt_state,
+                p_shard,
+                transform_non_params=lambda _leaf: rep,
+            )
+        else:
+            opt_shard = jax.tree.map(lambda _: rep, n.opt_state)
+        return NetState(
+            params=p_shard,
+            batch_stats=jax.tree.map(lambda _: rep, n.batch_stats),
+            spectral=jax.tree.map(lambda _: rep, n.spectral),
+            opt_state=opt_shard,
+        )
+
+    return GANState(
+        step=rep,
+        g=net(state.g, g_tx),
+        d=net(state.d, d_tx),
+        rng=rep,
+    )
