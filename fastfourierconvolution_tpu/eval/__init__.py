@@ -1,0 +1,20 @@
+"""Evaluation: generative metrics (FID/ISC/KID/PRC), InceptionV3-compat
+extractor, TF1-exact resize, metric pipeline."""
+
+from . import metrics  # noqa: F401
+from .inception import InceptionV3, create_extractor  # noqa: F401
+from .metrics import (  # noqa: F401
+    fid_features_to_metric,
+    fid_features_to_statistics,
+    fid_statistics_to_metric,
+    isc_features_to_metric,
+    kid_features_to_metric,
+    prc_features_to_metric,
+)
+from .pipeline import (  # noqa: F401
+    GenerativeModel,
+    calculate_metrics,
+    register_dataset,
+    registered_datasets,
+)
+from .resize import resize_bilinear_tf1  # noqa: F401

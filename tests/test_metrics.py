@@ -1,0 +1,271 @@
+"""Metric math tests: analytic FID cases, ISC/KID properties, TF1 resize
+golden parity vs an independent torch implementation of the reference
+algorithm, and an end-to-end pipeline smoke test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.eval import (
+    calculate_metrics,
+    fid_features_to_metric,
+    fid_features_to_statistics,
+    fid_statistics_to_metric,
+    isc_features_to_metric,
+    kid_features_to_metric,
+    prc_features_to_metric,
+    resize_bilinear_tf1,
+)
+from fastfourierconvolution_tpu.eval import pipeline as P
+from fastfourierconvolution_tpu.eval.metrics import (
+    KEY_FID,
+    KEY_ISC_MEAN,
+    KEY_KID_MEAN,
+    KEY_PRC_PRECISION,
+)
+
+
+def test_fid_identical_distributions_is_zero():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2000, 16)
+    assert abs(fid_features_to_metric(feats, feats.copy())) < 1e-8
+
+
+def test_fid_closed_form_gaussians():
+    # FID between N(mu1, I) and N(mu2, I) = ||mu1 - mu2||^2 (exactly, on stats)
+    d = 8
+    mu1 = np.zeros(d)
+    mu2 = np.ones(d) * 2.0
+    stat1 = {"mu": mu1, "sigma": np.eye(d)}
+    stat2 = {"mu": mu2, "sigma": np.eye(d)}
+    np.testing.assert_allclose(
+        fid_statistics_to_metric(stat1, stat2), np.sum((mu1 - mu2) ** 2),
+        rtol=1e-10,
+    )
+    # and with different covariances: tr(S1 + S2 - 2 sqrt(S1 S2))
+    s1 = np.diag([1.0, 4.0] + [1.0] * (d - 2))
+    s2 = np.diag([9.0, 1.0] + [1.0] * (d - 2))
+    expected = np.sum((mu1 - mu2) ** 2) + np.trace(
+        s1 + s2 - 2 * np.sqrt(s1 @ s2)
+    )
+    np.testing.assert_allclose(
+        fid_statistics_to_metric({"mu": mu1, "sigma": s1}, {"mu": mu2, "sigma": s2}),
+        expected,
+        rtol=1e-10,
+    )
+
+
+def test_fid_matches_reference_formula_random():
+    # Independent re-derivation of the reference's eigval formulation
+    rng = np.random.RandomState(1)
+    f1 = rng.randn(500, 12)
+    f2 = rng.randn(400, 12) * 1.5 + 0.3
+    got = fid_features_to_metric(f1, f2)
+    mu1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+    mu2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+    diff = mu1 - mu2
+    tr = np.sum(np.sqrt(np.linalg.eigvals(s1 @ s2).astype(complex)).real)
+    want = diff @ diff + np.trace(s1) + np.trace(s2) - 2 * tr
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_isc_uniform_logits_gives_one():
+    # identical logits for every sample -> p == q -> KL = 0 -> ISC = 1
+    feats = np.tile(np.array([[1.0, 2.0, 3.0]]), (1000, 1))
+    out = isc_features_to_metric(feats)
+    np.testing.assert_allclose(out[KEY_ISC_MEAN], 1.0, rtol=1e-6)
+
+
+def test_isc_perfectly_separated_classes():
+    # N classes, confident one-hot logits -> ISC -> N
+    n, c = 1000, 10
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, c, n)
+    feats = np.full((n, c), -50.0)
+    feats[np.arange(n), labels] = 50.0
+    out = isc_features_to_metric(feats)
+    assert out[KEY_ISC_MEAN] > 9.0
+
+
+def test_isc_matches_torch_reference_protocol():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(3)
+    feats = rng.randn(500, 20).astype(np.float32)
+    # independent torch re-implementation of the reference protocol
+    # (metric_isc.py:16-39): shuffle with RandomState(2020), double,
+    # softmax/log_softmax, 10 splits
+    t = torch.from_numpy(feats)
+    perm = np.random.RandomState(2020).permutation(500)
+    t = t[perm].double()
+    p = t.softmax(dim=1)
+    log_p = t.log_softmax(dim=1)
+    scores = []
+    for i in range(10):
+        pc = p[i * 50 : (i + 1) * 50]
+        lpc = log_p[i * 50 : (i + 1) * 50]
+        q = pc.mean(dim=0, keepdim=True)
+        kl = (pc * (lpc - q.log())).sum(dim=1).mean().exp().item()
+        scores.append(kl)
+    out = isc_features_to_metric(feats)
+    np.testing.assert_allclose(out[KEY_ISC_MEAN], np.mean(scores), rtol=1e-6)
+    np.testing.assert_allclose(
+        out["inception_score_std"], np.std(scores), rtol=1e-5
+    )
+
+
+def test_kid_identical_near_zero_and_shifted_positive():
+    rng = np.random.RandomState(0)
+    f = rng.randn(600, 16)
+    same = kid_features_to_metric(f, f.copy(), subsets=20, subset_size=300)
+    # unbiased estimator: ~0 in expectation (statistical tolerance)
+    assert abs(same[KEY_KID_MEAN]) < 0.05
+    far = kid_features_to_metric(f, f + 3.0, subsets=20, subset_size=300)
+    assert far[KEY_KID_MEAN] > same[KEY_KID_MEAN] + 1.0
+
+
+def test_kid_unbiased_mmd_formula():
+    # hand-check the unbiased estimator on a tiny case
+    from fastfourierconvolution_tpu.eval.metrics import (
+        _mmd2_unbiased,
+        _poly_kernel,
+    )
+
+    rng = np.random.RandomState(1)
+    x, y = rng.randn(5, 3), rng.randn(5, 3)
+    kxx, kyy, kxy = (
+        _poly_kernel(x, x),
+        _poly_kernel(y, y),
+        _poly_kernel(x, y),
+    )
+    m = 5
+    want = (
+        (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+        + (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
+        - 2 * kxy.mean()
+    )
+    np.testing.assert_allclose(_mmd2_unbiased(kxx, kyy, kxy), want, rtol=1e-12)
+
+
+def test_prc_identical_sets():
+    rng = np.random.RandomState(0)
+    f = rng.randn(200, 8)
+    out = prc_features_to_metric(f, f.copy())
+    assert out[KEY_PRC_PRECISION] == 1.0
+    assert out["recall"] == 1.0
+    # disjoint far-apart sets -> ~0
+    out = prc_features_to_metric(f, f + 100.0)
+    assert out[KEY_PRC_PRECISION] == 0.0
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("in_hw,out_hw", [((32, 32), (299, 299)), ((16, 24), (8, 40))])
+def test_tf1_resize_matches_reference_algorithm(align, in_hw, out_hw):
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, *in_hw, 3).astype(np.float32) * 255
+    got = np.asarray(resize_bilinear_tf1(jnp.asarray(x), out_hw, align))
+
+    # independent torch implementation of TF1 resize semantics
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    in_h, in_w = in_hw
+    out_h, out_w = out_hw
+    if align:
+        sy = (in_h - 1) / max(1, out_h - 1)
+        sx = (in_w - 1) / max(1, out_w - 1)
+    else:
+        sy, sx = in_h / out_h, in_w / out_w
+    gy = torch.arange(out_h, dtype=torch.float32) * torch.tensor(sy, dtype=torch.float32)
+    gx = torch.arange(out_w, dtype=torch.float32) * torch.tensor(sx, dtype=torch.float32)
+    y_lo = gy.long()
+    y_hi = (y_lo + 1).clamp_max(in_h - 1)
+    x_lo = gx.long()
+    x_hi = (x_lo + 1).clamp_max(in_w - 1)
+    dy = (gy - y_lo.float()).view(1, 1, out_h, 1)
+    dx = (gx - x_lo.float()).view(1, 1, 1, out_w)
+    i00 = t[:, :, y_lo, :][:, :, :, x_lo]
+    i01 = t[:, :, y_lo, :][:, :, :, x_hi]
+    i10 = t[:, :, y_hi, :][:, :, :, x_lo]
+    i11 = t[:, :, y_hi, :][:, :, :, x_hi]
+    top = i00 + (i01 - i00) * dx
+    bot = i10 + (i11 - i10) * dx
+    want = (top + (bot - top) * dy).numpy()
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 3, 1, 2)), want, atol=2e-3, rtol=1e-5
+    )
+
+
+def test_pipeline_end_to_end_random_extractor():
+    """Full calculate_metrics run with a random-weights extractor:
+    same-images FID must be ~0, ISC/KID finite, caching round-trips."""
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(64, 16, 16, 3) * 255).astype(np.uint8)
+    out = calculate_metrics(
+        imgs,
+        imgs.copy(),
+        isc=True,
+        fid=True,
+        kid=True,
+        prc=True,
+        batch_size=32,
+        kid_subsets=4,
+        kid_subset_size=16,
+        cache=False,
+    )
+    assert abs(out[KEY_FID]) < 1e-3
+    assert np.isfinite(out[KEY_ISC_MEAN])
+    assert abs(out[KEY_KID_MEAN]) < 1e-2
+    assert out[KEY_PRC_PRECISION] > 0.9
+
+
+def test_pipeline_generative_model_input():
+    gm = P.GenerativeModel(
+        apply=lambda z: (
+            (jnp.clip(jnp.tanh(z[:, :1, None, None]) * jnp.ones((1, 8, 8, 3)), -1, 1)
+             * 0.5 + 0.5) * 255
+        ).astype(jnp.uint8),
+        z_size=4,
+    )
+    rng = np.random.RandomState(0)
+    real = (rng.rand(32, 8, 8, 3) * 255).astype(np.uint8)
+    out = calculate_metrics(
+        gm,
+        real,
+        fid=True,
+        input1_model_num_samples=32,
+        batch_size=16,
+        cache=False,
+    )
+    assert np.isfinite(out[KEY_FID])
+
+
+def test_dataset_registry(tmp_path):
+    rng = np.random.RandomState(0)
+    data = (rng.rand(48, 8, 8, 3) * 255).astype(np.uint8)
+    P.register_dataset("unit-test-ds", lambda: data)
+    assert "unit-test-ds" in P.registered_datasets()
+    out = calculate_metrics(
+        data[:24],
+        "unit-test-ds",
+        fid=True,
+        batch_size=16,
+        cache=True,
+        cache_dir=str(tmp_path),
+        input1_cache_name="gen-test",
+    )
+    assert np.isfinite(out[KEY_FID])
+    # cache files written and reused
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any("unit-test-ds" in f for f in files)
+    out2 = calculate_metrics(
+        data[:24],
+        "unit-test-ds",
+        fid=True,
+        batch_size=16,
+        cache=True,
+        cache_dir=str(tmp_path),
+        input1_cache_name="gen-test",
+    )
+    np.testing.assert_allclose(out[KEY_FID], out2[KEY_FID], rtol=1e-6)
