@@ -1,0 +1,401 @@
+"""Datasets: local-file readers for the reference's dataset matrix.
+
+The reference's data layer (reference util/data_loader.py:431-542,
+config/datasets.py:7-26) supports MNIST / FashionMNIST / CIFAR-10 /
+CelebA / Omniglot / SVHN / STL-10 / Flowers102 / StanfordCars / Food101 /
+local image folders / tar archives, downloading through torchvision.
+This environment has no network egress, so every reader here consumes the
+standard on-disk formats when present (idx, CIFAR pickle batches, SVHN
+.mat, image folders, tar archives) and raises a clear error otherwise;
+:class:`SyntheticDataset` provides seeded random data for tests and
+benchmarks.
+
+All datasets are simple objects with ``__len__`` and
+``__getitem__ -> (HWC uint8 image, int label)``; the batching/shuffling/
+device-feeding logic lives in data/loader.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+import tarfile
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Item = Tuple[np.ndarray, int]
+
+IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".ppm")
+
+
+class ArrayDataset:
+    """In-memory (N, H, W, C) uint8 images + (N,) int labels."""
+
+    def __init__(self, images: np.ndarray, labels: Optional[np.ndarray] = None):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = (
+            labels
+            if labels is not None
+            else np.zeros((len(images),), np.int64)
+        )
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> Item:
+        return self.images[i], int(self.labels[i])
+
+
+class SyntheticDataset(ArrayDataset):
+    """Seeded random uint8 images — the RandomlyGeneratedDataset test
+    fixture (reference torch_fidelity/datasets.py:64-78)."""
+
+    def __init__(self, n: int = 1024, size: int = 32, channels: int = 3, seed: int = 2020):
+        rng = np.random.RandomState(seed)
+        images = rng.randint(0, 256, (n, size, size, channels), dtype=np.uint8)
+        labels = rng.randint(0, 10, (n,)).astype(np.int64)
+        super().__init__(images, labels)
+
+
+def _open_maybe_gz(path: str):
+    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+
+
+def _find(data_dir: str, names: Sequence[str]) -> Optional[str]:
+    for name in names:
+        for cand in (
+            os.path.join(data_dir, name),
+            os.path.join(data_dir, name + ".gz"),
+        ):
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
+def load_mnist(data_dir: str, split: str = "train") -> ArrayDataset:
+    """MNIST/FashionMNIST idx-format reader (28x28 grayscale)."""
+    img_name = (
+        "train-images-idx3-ubyte" if split == "train" else "t10k-images-idx3-ubyte"
+    )
+    lbl_name = (
+        "train-labels-idx1-ubyte" if split == "train" else "t10k-labels-idx1-ubyte"
+    )
+    img_path = _find(data_dir, [img_name, os.path.join("MNIST/raw", img_name)])
+    lbl_path = _find(data_dir, [lbl_name, os.path.join("MNIST/raw", lbl_name)])
+    if img_path is None or lbl_path is None:
+        raise FileNotFoundError(
+            f"MNIST idx files not found under {data_dir} "
+            f"(expected {img_name}[.gz] / {lbl_name}[.gz])"
+        )
+    with _open_maybe_gz(img_path) as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"bad idx magic {magic}"
+        images = np.frombuffer(f.read(n * rows * cols), np.uint8)
+        images = images.reshape(n, rows, cols, 1)
+    with _open_maybe_gz(lbl_path) as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        assert magic == 2049
+        labels = np.frombuffer(f.read(n), np.uint8).astype(np.int64)
+    return ArrayDataset(np.ascontiguousarray(images), labels)
+
+
+def load_cifar10(data_dir: str, split: str = "train") -> ArrayDataset:
+    """CIFAR-10 python-pickle batch reader (32x32 RGB)."""
+    base = os.path.join(data_dir, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = data_dir
+    names = (
+        [f"data_batch_{i}" for i in range(1, 6)]
+        if split == "train"
+        else ["test_batch"]
+    )
+    images, labels = [], []
+    for name in names:
+        path = os.path.join(base, name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"CIFAR-10 batch {path} not found")
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        images.append(
+            d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        )
+        labels.append(np.asarray(d[b"labels"], np.int64))
+    return ArrayDataset(
+        np.ascontiguousarray(np.concatenate(images)), np.concatenate(labels)
+    )
+
+
+def load_svhn(data_dir: str, split: str = "train") -> ArrayDataset:
+    """SVHN .mat reader (32x32 RGB; the flagship fgan_complete dataset)."""
+    from scipy.io import loadmat
+
+    path = os.path.join(data_dir, f"{split}_32x32.mat")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"SVHN {path} not found")
+    mat = loadmat(path)
+    images = np.transpose(mat["X"], (3, 0, 1, 2)).astype(np.uint8)
+    labels = mat["y"].reshape(-1).astype(np.int64) % 10  # 10 -> 0
+    return ArrayDataset(np.ascontiguousarray(images), labels)
+
+
+def load_stl10(data_dir: str, split: str = "train") -> ArrayDataset:
+    """STL-10 binary reader (96x96 RGB)."""
+    base = os.path.join(data_dir, "stl10_binary")
+    if not os.path.isdir(base):
+        base = data_dir
+    img_path = os.path.join(base, f"{split}_X.bin")
+    lbl_path = os.path.join(base, f"{split}_y.bin")
+    if not os.path.exists(img_path):
+        raise FileNotFoundError(f"STL-10 {img_path} not found")
+    images = np.fromfile(img_path, np.uint8).reshape(-1, 3, 96, 96)
+    images = np.ascontiguousarray(images.transpose(0, 3, 2, 1))  # CMN -> HWC
+    if os.path.exists(lbl_path):
+        labels = np.fromfile(lbl_path, np.uint8).astype(np.int64) - 1
+    else:
+        labels = np.zeros((len(images),), np.int64)
+    return ArrayDataset(images, labels)
+
+
+class ImageFolderDataset:
+    """Recursive image-folder reader with top-level-directory labels
+    (reference util/data_loader.py LOCAL_DATASET branch + the
+    TarImageFolder labeling rule, tar_loader.py:255-279). Decoding is
+    lazy (per item) via PIL."""
+
+    def __init__(self, root: str, size: Optional[int] = None, channels: int = 3):
+        self.root = root
+        self.size = size
+        self.channels = channels
+        self.samples: List[Tuple[str, int]] = []
+        classes = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        if classes:
+            for c in classes:
+                for dirpath, _, files in os.walk(os.path.join(root, c)):
+                    for fn in sorted(files):
+                        if fn.lower().endswith(IMG_EXTENSIONS):
+                            self.samples.append(
+                                (os.path.join(dirpath, fn), self.class_to_idx[c])
+                            )
+        else:
+            for dirpath, _, files in os.walk(root):
+                for fn in sorted(files):
+                    if fn.lower().endswith(IMG_EXTENSIONS):
+                        self.samples.append((os.path.join(dirpath, fn), 0))
+        if not self.samples:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> Item:
+        from PIL import Image
+
+        path, label = self.samples[i]
+        img = Image.open(path)
+        img = _to_mode(img, self.channels)
+        if self.size:
+            img = _resize_center_crop(img, self.size)
+        return np.asarray(img, np.uint8).reshape(
+            img.size[1], img.size[0], self.channels
+        ), label
+
+
+class TarImageDataset:
+    """Stream images from an uncompressed .tar without extraction
+    (reference util/tar_loader.py:44-317): member index built once;
+    per-process file handles (re-opened after fork, the reference's
+    per-worker-handle pattern); top-level folder names as labels;
+    tolerant of truncated archives (the UnexpectedEOFTarFile behavior)."""
+
+    def __init__(self, tar_path: str, size: Optional[int] = None, channels: int = 3):
+        self.tar_path = tar_path
+        self.size = size
+        self.channels = channels
+        self._handles = {}  # pid -> TarFile
+        members: List[tarfile.TarInfo] = []
+        try:
+            with tarfile.open(tar_path, "r:") as tf:
+                while True:
+                    m = tf.next()
+                    if m is None:
+                        break
+                    if m.isfile() and m.name.lower().endswith(IMG_EXTENSIONS):
+                        members.append(m)
+        except (tarfile.ReadError, EOFError):
+            # truncated archive: keep what we indexed so far
+            pass
+        if not members:
+            raise FileNotFoundError(f"no images in tar {tar_path}")
+        self.members = members
+        tops = sorted({m.name.split("/")[0] for m in members})
+        multi = len(tops) > 1
+        self.class_to_idx = {t: i for i, t in enumerate(tops)} if multi else {}
+        self.labels = [
+            self.class_to_idx.get(m.name.split("/")[0], 0) for m in members
+        ]
+
+    def _tar(self) -> tarfile.TarFile:
+        pid = os.getpid()
+        if pid not in self._handles:
+            self._handles[pid] = tarfile.open(self.tar_path, "r:")
+        return self._handles[pid]
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_handles"] = {}  # fork/pickle safety (reference :203-207)
+        return state
+
+    def __len__(self) -> int:
+        return len(self.members)
+
+    def __getitem__(self, i: int) -> Item:
+        from PIL import Image
+
+        f = self._tar().extractfile(self.members[i])
+        img = Image.open(f)
+        img.load()
+        img = _to_mode(img, self.channels)
+        if self.size:
+            img = _resize_center_crop(img, self.size)
+        return np.asarray(img, np.uint8).reshape(
+            img.size[1], img.size[0], self.channels
+        ), self.labels[i]
+
+
+# --- transforms --------------------------------------------------------------
+
+
+def _to_mode(img, channels: int):
+    if channels == 1:
+        return img.convert("L")
+    return img.convert("RGB")
+
+
+def _resize_center_crop(img, size: int):
+    from PIL import Image
+
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize(
+        (max(size, round(w * scale)), max(size, round(h * scale))),
+        Image.BILINEAR,
+    )
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+class TransformedDataset:
+    """Applies resize/center-crop + channel conversion + optional
+    horizontal flip to an underlying dataset, emitting uint8 HWC."""
+
+    def __init__(
+        self,
+        base,
+        size: int,
+        channels: int = 3,
+        hflip: bool = False,
+    ):
+        self.base = base
+        self.size = size
+        self.channels = channels
+        self.hflip = hflip
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, i: int) -> Item:
+        from PIL import Image
+
+        img, label = self.base[i]
+        if isinstance(img, np.ndarray):
+            pil = Image.fromarray(img.squeeze(-1) if img.shape[-1] == 1 else img)
+        else:
+            pil = img
+        pil = _to_mode(pil, self.channels)
+        if pil.size != (self.size, self.size):
+            pil = _resize_center_crop(pil, self.size)
+        if self.hflip:
+            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        arr = np.asarray(pil, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr, label
+
+
+class ConcatDataset:
+    """Concatenation of datasets — the reference's augmentation-by-
+    concatenation pattern (util/data_loader.py:134-221 load_flowers x15,
+    :298-344 load_celeba + hflip)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def __getitem__(self, i: int) -> Item:
+        k = int(np.searchsorted(self.offsets, i, side="right")) - 1
+        return self.datasets[k][i - int(self.offsets[k])]
+
+
+# --- registry (the Datasets enum equivalent, config/datasets.py:7-26) --------
+
+GRAYSCALE_DATASETS = {"mnist", "fmnist", "omniglot"}
+
+_LOADERS: dict[str, Callable] = {
+    "mnist": load_mnist,
+    "fmnist": load_mnist,  # same idx format, different directory
+    "cifar10": load_cifar10,
+    "svhn": load_svhn,
+    "stl10": load_stl10,
+}
+
+
+def is_grayscale(name: str) -> bool:
+    return name.lower() in GRAYSCALE_DATASETS
+
+
+def load_dataset(
+    name: str,
+    data_dir: str,
+    image_size: int,
+    channels: int = 3,
+    split: str = "train",
+    hflip_augment: bool = False,
+):
+    """Config-driven dataset factory (reference load_data,
+    util/data_loader.py:431-542): resolves the named dataset / folder /
+    tar / synthetic source and wraps it with resize + channel transforms;
+    optional horizontal-flip concat augmentation."""
+    lname = name.lower()
+    if lname == "synthetic":
+        base = SyntheticDataset(size=image_size, channels=channels)
+    elif lname in _LOADERS:
+        base = _LOADERS[lname](data_dir, split=split)
+    elif lname == "tar" or name.endswith(".tar"):
+        path = name if name.endswith(".tar") else data_dir
+        base = TarImageDataset(path, channels=channels)
+    elif lname in ("local", "folder", "local_dataset"):
+        base = ImageFolderDataset(data_dir, channels=channels)
+    elif os.path.isdir(data_dir or name):
+        base = ImageFolderDataset(data_dir or name, channels=channels)
+    else:
+        raise KeyError(f"unknown dataset '{name}'")
+
+    ds = TransformedDataset(base, image_size, channels)
+    if hflip_augment:
+        ds = ConcatDataset(
+            [ds, TransformedDataset(base, image_size, channels, hflip=True)]
+        )
+    return ds

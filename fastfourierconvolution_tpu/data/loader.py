@@ -1,0 +1,90 @@
+"""Batch loading: shuffling, normalisation to [-1, 1], device prefetch.
+
+The torch-DataLoader role (reference util/data_loader.py DataLoader calls:
+shuffle, drop_last, pin_memory, workers=8) re-designed for JAX/TPU:
+
+  * epoch permutation with a seeded numpy RNG;
+  * whole batches gathered as one ndarray, normalised
+    ``x/127.5 - 1`` (the reference's Normalize(0.5, 0.5) on [0,1]);
+  * a background thread keeps ``prefetch`` batches in flight so host
+    decode overlaps device compute (the pin_memory/workers equivalent);
+  * infinite iteration (the reference's re-iter on StopIteration,
+    fgan_complete.py:359-363).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def normalize_to_unit(x: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1]."""
+    return x.astype(np.float32) / 127.5 - 1.0
+
+
+class DataLoader:
+    """Minimal epoch-shuffled batch loader over a __len__/__getitem__
+    dataset, yielding (images f32 [-1,1] NHWC, labels i64)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _gather(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        imgs, labels = zip(*(self.dataset[int(i)] for i in idx))
+        return normalize_to_unit(np.stack(imgs)), np.asarray(labels, np.int64)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._epoch_order()
+        n_full = len(order) // self.batch_size
+        ends = n_full * self.batch_size
+        for i in range(0, ends, self.batch_size):
+            yield self._gather(order[i : i + self.batch_size])
+        if not self.drop_last and ends < len(order):
+            yield self._gather(order[ends:])
+
+    def epochs(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite batch stream with background prefetch."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            while not stop.is_set():
+                for batch in self:
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

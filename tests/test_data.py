@@ -1,0 +1,180 @@
+"""Data layer tests: format readers (synthesised fixtures), tar streaming,
+transforms, loader semantics, checkpoint round-trip."""
+
+import gzip
+import io
+import os
+import pickle
+import struct
+import tarfile
+
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.data import (
+    ConcatDataset,
+    DataLoader,
+    SyntheticDataset,
+    TarImageDataset,
+    TransformedDataset,
+    load_cifar10,
+    load_dataset,
+    load_mnist,
+)
+
+
+def _write_mnist(dirpath, n=32):
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (n, 28, 28), dtype=np.uint8)
+    labels = rng.randint(0, 10, (n,), dtype=np.uint8)
+    with gzip.open(os.path.join(dirpath, "train-images-idx3-ubyte.gz"), "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n, 28, 28))
+        f.write(imgs.tobytes())
+    with gzip.open(os.path.join(dirpath, "train-labels-idx1-ubyte.gz"), "wb") as f:
+        f.write(struct.pack(">II", 2049, n))
+        f.write(labels.tobytes())
+    return imgs, labels
+
+
+def test_mnist_idx_reader(tmp_path):
+    imgs, labels = _write_mnist(str(tmp_path))
+    ds = load_mnist(str(tmp_path))
+    assert len(ds) == 32
+    img, lbl = ds[3]
+    assert img.shape == (28, 28, 1)
+    np.testing.assert_array_equal(img[..., 0], imgs[3])
+    assert lbl == int(labels[3])
+
+
+def test_cifar10_pickle_reader(tmp_path):
+    rng = np.random.RandomState(0)
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (10, 3 * 32 * 32), dtype=np.uint8)
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(
+                {b"data": data, b"labels": list(range(10))}, f
+            )
+    ds = load_cifar10(str(tmp_path))
+    assert len(ds) == 50
+    img, lbl = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+
+def _make_tar(path, n=6, classes=("cat", "dog")):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            cls = classes[i % len(classes)]
+            arr = rng.randint(0, 256, (20, 24, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            info = tarfile.TarInfo(f"{cls}/img_{i}.png")
+            info.size = buf.getbuffer().nbytes
+            buf.seek(0)
+            tf.addfile(info, buf)
+
+
+def test_tar_dataset_streams_and_labels(tmp_path):
+    tar_path = str(tmp_path / "data.tar")
+    _make_tar(tar_path)
+    ds = TarImageDataset(tar_path, size=16)
+    assert len(ds) == 6
+    img, lbl = ds[0]
+    assert img.shape == (16, 16, 3)
+    assert set(ds.class_to_idx) == {"cat", "dog"}
+    # pickling drops handles (fork safety)
+    import pickle as pkl
+
+    ds2 = pkl.loads(pkl.dumps(ds))
+    img2, _ = ds2[0]
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_tar_dataset_tolerates_truncation(tmp_path):
+    tar_path = str(tmp_path / "trunc.tar")
+    _make_tar(tar_path, n=6)
+    data = open(tar_path, "rb").read()
+    open(tar_path, "wb").write(data[: len(data) - 1500])  # cut the tail
+    ds = TarImageDataset(tar_path)
+    assert 1 <= len(ds) <= 6  # indexed prefix survives
+
+
+def test_transform_and_concat():
+    base = SyntheticDataset(n=10, size=28, channels=1)
+    ds = TransformedDataset(base, size=32, channels=3)
+    img, _ = ds[0]
+    assert img.shape == (32, 32, 3)
+    cat = ConcatDataset([ds, TransformedDataset(base, 32, 3, hflip=True)])
+    assert len(cat) == 20
+    a, _ = cat[0]
+    b, _ = cat[10]
+    np.testing.assert_array_equal(a, b[:, ::-1])
+
+
+def test_loader_batches_and_normalization():
+    ds = SyntheticDataset(n=50, size=8)
+    loader = DataLoader(ds, batch_size=16, seed=1)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    x, y = batches[0]
+    assert x.shape == (16, 8, 8, 3) and x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    assert y.shape == (16,)
+    # infinite stream crosses epoch boundary
+    it = loader.epochs()
+    for _ in range(5):
+        x, y = next(it)
+        assert x.shape[0] == 16
+
+
+def test_load_dataset_factory_synthetic():
+    ds = load_dataset("synthetic", "", image_size=16, channels=1)
+    img, _ = ds[0]
+    assert img.shape == (16, 16, 1)
+    ds = load_dataset("synthetic", "", image_size=16, channels=3, hflip_augment=True)
+    assert len(ds) == 2048
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from fastfourierconvolution_tpu.models import (
+        FFCGenerator,
+        SNConvDiscriminator,
+    )
+    from fastfourierconvolution_tpu.train import GANTrainer
+    from fastfourierconvolution_tpu.train.checkpoint import (
+        get_latest_checkpoint,
+        restore_latest,
+        save_checkpoint,
+    )
+
+    g = FFCGenerator(z_size=16, ngf=8, ratio_g=0.25, mg=2, channel_mults=(2,))
+    d = SNConvDiscriminator(ladder=((8, 3, 1), (8, 4, 2)), mg=2)
+    trainer = GANTrainer(g, d, z_size=16, total_steps=10)
+    real = jnp.zeros((4, 4, 4, 3))
+    state = trainer.init(jax.random.PRNGKey(0), real)
+    state, _ = jax.jit(trainer.update_step)(state, real)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(state, ckpt_dir, step=1)
+    save_checkpoint(state.replace(step=jnp.asarray(7)), ckpt_dir, step=7)
+    assert get_latest_checkpoint(ckpt_dir).endswith("ckpt_7_steps.ckpt")
+
+    template = trainer.init(jax.random.PRNGKey(42), real)
+    restored, step = restore_latest(template, ckpt_dir)
+    assert step == 7
+    fa, _ = jax.flatten_util.ravel_pytree(state.g.params)
+    fb, _ = jax.flatten_util.ravel_pytree(restored.g.params)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # keep=3 pruning
+    for s in (8, 9, 10, 11):
+        save_checkpoint(state, ckpt_dir, step=s, keep=3)
+    names = sorted(os.listdir(ckpt_dir))
+    assert len(names) == 3
