@@ -6,6 +6,14 @@ from .dcgan import (  # noqa: F401
     DCGANGenerator,
     SNDCGANDiscriminator,
 )
+from .conditional import (  # noqa: F401
+    CondDCGANDiscriminator,
+    CondDCGANGenerator,
+    CondSNDiscriminator,
+    FFCCondDCGANDiscriminator,
+    FFCCondDiscriminator,
+    FFCCondGenerator,
+)
 from .ffc_gan import (  # noqa: F401
     FFCDiscriminator,
     FFCGenerator,
