@@ -221,6 +221,38 @@ class ConvTranspose2d(nn.Module):
         return y
 
 
+class SNConvTranspose2d(nn.Module, _SpectralMixin):
+    """Spectral-normalised transposed convolution (the SAGAN generator's
+    SpectralNorm(ConvTranspose2d), reference
+    benchmark_models/sagan/sagan_models.py:55-75)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
+        )
+        kernel = self._apply_sn(kernel, train)
+        y = conv_ops.conv_transpose2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 class NoiseInjection(nn.Module):
     """StyleGAN-style learnable noise (reference layers/noise_injection.py:20-31).
 

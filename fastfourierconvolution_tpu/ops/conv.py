@@ -19,10 +19,12 @@ input-dilated convolution, which is its natural XLA form.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
@@ -137,6 +139,33 @@ def upsample_nearest2x(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
+
+
+@functools.lru_cache(maxsize=32)
+def _bilinear_up_matrix(n: int, scale: int) -> np.ndarray:
+    """(scale*n, n) torch-style bilinear weights (half-pixel centers,
+    align_corners=False) — the F.interpolate semantics the SNGAN GBlock
+    upsample uses (reference fgan128_complete.py:152-157)."""
+    out = scale * n
+    idx = np.arange(out, dtype=np.float64)
+    src = (idx + 0.5) / scale - 0.5
+    lo = np.clip(np.floor(src), 0, n - 1).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = np.clip(src - lo, 0.0, 1.0)
+    w = np.zeros((out, n), dtype=np.float64)
+    w[np.arange(out), lo] += 1.0 - frac
+    w[np.arange(out), hi] += frac
+    return w.astype(np.float32)
+
+
+def upsample_bilinear_torch(x: jax.Array, scale: int = 2) -> jax.Array:
+    """NHWC bilinear upsample with torch align_corners=False semantics,
+    as two separable matmuls (MXU-resident, exact)."""
+    h, w = x.shape[1], x.shape[2]
+    wh = jnp.asarray(_bilinear_up_matrix(h, scale))
+    ww = jnp.asarray(_bilinear_up_matrix(w, scale))
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, x)
 
 
 def global_avg_pool(x: jax.Array) -> jax.Array:
