@@ -128,7 +128,18 @@ class FFCGenerator(nn.Module):
                 ngf=128, ratio_g=0.5, mg=4, channel_mults=(4, 2, 1, 1, 1)
             ),
         }
-        cfg = dict(presets[resolution])
+        if resolution in presets:
+            cfg = dict(presets[resolution])
+        else:
+            # generic fallback: derive the ladder from mg (power-of-two
+            # multiple of mg required)
+            mg = kw.pop("mg", 4)
+            n = (resolution // mg).bit_length() - 1
+            assert mg * (2**n) == resolution, (
+                f"resolution {resolution} must be mg*2^n (mg={mg})"
+            )
+            mults = ((4, 2, 1) + (1,) * max(0, n - 3))[-n:] if n else (1,)
+            cfg = dict(ngf=64, ratio_g=0.25, mg=mg, channel_mults=mults)
         cfg.update(kw)
         return FFCGenerator(z_size=z_size, out_channels=out_channels, **cfg)
 

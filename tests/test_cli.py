@@ -1,0 +1,98 @@
+"""Config/preset/zoo/CLI tests + a short end-to-end driver run on the
+synthetic dataset."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.utils.config import (
+    PRESETS,
+    make_config,
+    parse_cli,
+)
+from fastfourierconvolution_tpu.zoo import build_models
+
+
+def test_all_presets_resolve():
+    for name in PRESETS:
+        cfg = make_config(name)
+        assert cfg.train.batch_size > 0
+
+
+@pytest.mark.parametrize(
+    "preset", ["fgan32", "fgan_cond32", "sngan", "resnet32", "sagan",
+               "train_cond"]
+)
+def test_zoo_builds_models(preset):
+    cfg = make_config(preset)
+    g, d = build_models(cfg)
+    assert g is not None and d is not None
+
+
+def test_parse_cli_overrides():
+    cmd, cfg = parse_cli(
+        ["train", "--preset", "fgan32", "-b", "32", "-e", "1000",
+         "--set", "model.ratio_g=0.5", "--set", "eval.fid=false"]
+    )
+    assert cmd == "train"
+    assert cfg.train.batch_size == 32
+    assert cfg.train.num_total_steps == 1000
+    assert cfg.model.ratio_g == 0.5
+    assert cfg.eval.fid is False
+
+
+def test_scalar_logger_and_plot(tmp_path):
+    from fastfourierconvolution_tpu.utils.logging import (
+        ScalarLogger,
+        save_loss_plot,
+    )
+
+    logger = ScalarLogger(str(tmp_path))
+    for s in range(5):
+        logger.log(s, {"loss_g": 1.0 / (s + 1), "loss_d": 2.0, "lr": 1e-4})
+    logger.close()
+    assert os.path.exists(logger.csv_path)
+    png = save_loss_plot(logger.csv_path)
+    assert os.path.exists(png)
+
+
+def test_make_grid_shapes():
+    from fastfourierconvolution_tpu.utils.logging import make_grid
+
+    imgs = np.zeros((10, 8, 8, 1), np.uint8)
+    grid = make_grid(imgs, nrow=4)
+    assert grid.shape[-1] == 3
+    assert grid.shape[0] == 3 * 10 + 2  # ceil(10/4)=3 rows
+
+
+def test_driver_end_to_end_tiny(tmp_path):
+    """Short synthetic training run through the real CLI driver."""
+    from fastfourierconvolution_tpu.cli import main
+
+    logs = str(tmp_path / "logs")
+    main(
+        [
+            "train",
+            "--set", "data.dataset=synthetic",
+            "--set", "data.image_size=16",
+            "--set", "model.generator=ffc",
+            "--set", "model.discriminator=ffc",
+            "--set", "model.ngf=16",
+            "--set", "model.z_size=32",
+            "--set", "model.mg=2",
+            "--set", "train.batch_size=8",
+            "--set", "train.num_total_steps=6",
+            "--set", "train.num_epoch_steps=3",
+            "--set", "eval.isc=false",
+            "--set", "eval.fid=false",
+            "--set", "log.checkpoint=true",
+            "--set", "log.checkpoint_after_frac=0.3",
+            "-o", logs,
+        ]
+    )
+    assert os.path.exists(os.path.join(logs, "gan_losses.csv"))
+    assert os.path.exists(os.path.join(logs, "000003.png"))
+    ckpts = os.listdir(os.path.join(logs, "checkpoints"))
+    assert any("steps.ckpt" in c for c in ckpts)
