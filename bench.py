@@ -35,11 +35,19 @@ def main() -> None:
         SNConvDiscriminator,
     )
     from fastfourierconvolution_tpu.train import GANTrainer
+    from fastfourierconvolution_tpu.utils import policy
+
+    # TPU-native training configuration: bf16 activations (params/BN/SN
+    # state stay f32), one fused [fake; real] D forward (same math for
+    # the BN-free SN discriminator), K steps chained under one jit.
+    policy.set_compute_dtype("bf16")
+    K = 8
 
     g = FFCGenerator.for_resolution(32, z_size=128)
     d = SNConvDiscriminator.for_resolution(32)
     trainer = GANTrainer(
-        g, d, z_size=128, lr=2e-4, total_steps=100_000, num_dis_updates=1
+        g, d, z_size=128, lr=2e-4, total_steps=100_000, num_dis_updates=1,
+        fused_dis_batch=True,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -47,20 +55,23 @@ def main() -> None:
         jax.random.uniform(rng, (BATCH, 32, 32, 3), minval=-1.0, maxval=1.0)
     )
     state = trainer.init(rng, real)
-    step = jax.jit(trainer.update_step, donate_argnums=0)
+    reals = jnp.broadcast_to(real, (K,) + real.shape)
+    step = jax.jit(trainer.update_steps, donate_argnums=0)
 
-    # warmup / compile
-    state, metrics = step(state, real)
-    jax.block_until_ready(metrics)
+    # warmup / compile. NOTE: on the axon-tunnelled TPU,
+    # block_until_ready does not reliably wait; pulling a scalar to the
+    # host is the only trustworthy synchronisation.
+    state, metrics = step(state, reals)
+    float(metrics["loss_g"][-1])
 
-    n_steps = 50
+    n_calls = 15
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, real)
-    jax.block_until_ready(metrics)
+    for _ in range(n_calls):
+        state, metrics = step(state, reals)
+    float(metrics["loss_g"][-1])  # full sync
     dt = time.perf_counter() - t0
 
-    images_per_sec = BATCH * n_steps / dt
+    images_per_sec = BATCH * n_calls * K / dt
 
     vs = 1.0
     if os.path.exists(BASELINE_FILE):

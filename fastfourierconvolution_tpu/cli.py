@@ -37,8 +37,14 @@ def run_train(cfg) -> None:
     from .utils.logging import ScalarLogger, save_image_grid, save_loss_plot
     from .zoo import build_models
 
+    from .utils import policy
+
     t = cfg.train
+    policy.set_compute_dtype(t.precision)
     g_model, d_model = build_models(cfg)
+    # fused [fake; real] D pass is numerics-identical only for BN-free
+    # discriminators (the SN conv families)
+    fused = cfg.model.discriminator in ("sn_conv", "cond_sn_conv", "sn_dcgan")
     trainer = GANTrainer(
         g_model,
         d_model,
@@ -53,6 +59,7 @@ def run_train(cfg) -> None:
         b2=t.beta2,
         conditional=cfg.model.conditional,
         num_classes=cfg.model.num_classes,
+        fused_dis_batch=fused,
     )
 
     dataset = load_dataset(

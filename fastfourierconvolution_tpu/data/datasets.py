@@ -309,6 +309,15 @@ class TransformedDataset:
         self.size = size
         self.channels = channels
         self.hflip = hflip
+        # Expose the underlying contiguous store when this transform is a
+        # no-op, enabling the native gather fast path (data/native.py).
+        if (
+            not hflip
+            and isinstance(getattr(base, "images", None), np.ndarray)
+            and base.images.shape[1:] == (size, size, channels)
+        ):
+            self.images = base.images
+            self.labels = base.labels
 
     def __len__(self) -> int:
         return len(self.base)

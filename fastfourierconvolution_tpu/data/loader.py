@@ -57,7 +57,16 @@ class DataLoader:
         return order
 
     def _gather(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        imgs, labels = zip(*(self.dataset[int(i)] for i in idx))
+        # Fast path: contiguous uint8 array stores go through the native
+        # multithreaded gather+normalise engine (native/ffc_batcher.cpp).
+        ds = self.dataset
+        if hasattr(ds, "images") and hasattr(ds, "labels"):
+            from . import native
+
+            out = native.gather_normalize(ds.images, idx)
+            if out is not None:
+                return out, np.asarray(ds.labels)[idx]
+        imgs, labels = zip(*(ds[int(i)] for i in idx))
         return normalize_to_unit(np.stack(imgs)), np.asarray(labels, np.int64)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

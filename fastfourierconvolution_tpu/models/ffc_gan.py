@@ -64,10 +64,13 @@ class FFCGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
+        from ..utils.policy import compute_dtype
+
         b = z.shape[0]
         stem = nn.Dense(
             self.mg * self.mg * self.ngf * 8,
             kernel_init=dense_init,
+            dtype=compute_dtype(),
             name="noise_to_feature",
         )(z)
         x = stem.reshape(b, self.mg, self.mg, self.ngf * 8)

@@ -77,20 +77,58 @@ class FourierUnit(nn.Module):
     channels: int  # in == out in every reference use
     num_classes: int = 0
     impl: Optional[str] = None
+    fused: bool = True  # fused op with rematerialising custom VJP
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool, y: Optional[jax.Array] = None
     ) -> jax.Array:
+        from ..utils.policy import cast_compute
+
         h, w = x.shape[1], x.shape[2]
+        c2 = 2 * self.channels
+        kernel = self.param("mix_kernel", conv_init, (c2, c2))
+
+        use_fused = (
+            self.fused
+            and not (self.num_classes > 1 and y is not None)
+            and self.impl != "fft"
+        )
+        if use_fused:
+            # Single op: DFT -> mix -> BN -> ReLU -> iDFT with a
+            # rematerialising backward (residual = x only). BN state is
+            # managed here with flax-BatchNorm-compatible semantics
+            # (momentum 0.9, biased variance).
+            from ..nn.layers import bn_scale_init
+            from ..ops.pallas.fourier_unit import fourier_unit_fused
+
+            scale = self.param("bn_scale", bn_scale_init, (c2,))
+            bias = self.param("bn_bias", nn.initializers.zeros, (c2,))
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((c2,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((c2,), jnp.float32)
+            )
+            xc = cast_compute(x)
+            y_out, bmean, bvar = fourier_unit_fused(
+                xc, cast_compute(kernel), scale, bias,
+                ra_mean.value, ra_var.value, train,
+            )
+            if train and not self.is_initializing():
+                m = 0.9
+                ra_mean.value = m * ra_mean.value + (1 - m) * bmean
+                ra_var.value = m * ra_var.value + (1 - m) * bvar
+            return y_out
+
         f_r, f_i = fourier.rfft2_ortho(x, impl=self.impl)
         z = jnp.concatenate([f_r, f_i], axis=-1)  # (B, H, Wf, 2C)
-        kernel = self.param(
-            "mix_kernel", conv_init, (2 * self.channels, 2 * self.channels)
-        )
         z = jnp.einsum(
-            "bhvc,cd->bhvd", z, kernel, preferred_element_type=jnp.float32
-        )
+            "bhvc,cd->bhvd",
+            cast_compute(z),
+            cast_compute(kernel),
+            preferred_element_type=jnp.float32,
+        ).astype(z.dtype)
         if self.num_classes > 1 and y is not None:
             z = ConditionalBatchNorm(self.num_classes)(z, y, train)
         else:

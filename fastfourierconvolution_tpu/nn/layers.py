@@ -42,14 +42,17 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        return nn.BatchNorm(
+        in_dtype = x.dtype
+        out = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             use_scale=self.use_scale_bias,
             use_bias=self.use_scale_bias,
             scale_init=bn_scale_init,
-        )(x)
+            dtype=jnp.float32,  # stats/normalisation always in f32
+        )(x.astype(jnp.float32))
+        return out.astype(in_dtype)
 
 
 class ConditionalBatchNorm(nn.Module):
@@ -64,13 +67,15 @@ class ConditionalBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array, train: bool) -> jax.Array:
         c = x.shape[-1]
+        in_dtype = x.dtype
         out = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             use_scale=False,
             use_bias=False,
-        )(x)
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
         gamma_tbl = self.param(
             "gamma", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (self.num_classes, c)
         )
@@ -78,7 +83,7 @@ class ConditionalBatchNorm(nn.Module):
         y = y.reshape(-1).astype(jnp.int32)
         gamma = gamma_tbl[y][:, None, None, :]
         beta = beta_tbl[y][:, None, None, :]
-        return gamma * out + beta
+        return (gamma * out + beta).astype(in_dtype)
 
 
 def _sn_u_init(key, rows: int) -> jax.Array:
@@ -120,11 +125,13 @@ class SNDense(nn.Module, _SpectralMixin):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from ..utils.policy import cast_compute
+
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features)
         )
         kernel = self._apply_sn(kernel, train)
-        y = x @ kernel
+        y = cast_compute(x) @ cast_compute(kernel)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -298,18 +305,26 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        from ..utils.policy import cast_compute
+
         b, h, w, c = x.shape
         n = h * w
         q = Conv2d(c // 8, 1, use_bias=True)(x).reshape(b, n, c // 8)
         k = Conv2d(c // 8, 1, use_bias=True)(x).reshape(b, n, c // 8)
         v = Conv2d(c, 1, use_bias=True)(x).reshape(b, n, c)
         energy = jnp.einsum(
-            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+            "bic,bjc->bij",
+            cast_compute(q),
+            cast_compute(k),
+            preferred_element_type=jnp.float32,
         )
-        attn = jax.nn.softmax(energy, axis=-1)
+        attn = jax.nn.softmax(energy, axis=-1)  # f32 softmax
         out = jnp.einsum(
-            "bij,bjc->bic", attn, v, preferred_element_type=jnp.float32
-        )
+            "bij,bjc->bic",
+            cast_compute(attn),
+            cast_compute(v),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
         out = out.reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, ())
         return gamma * out + x, attn
@@ -322,12 +337,15 @@ class SELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..utils.policy import compute_dtype
+
         c = x.shape[-1]
         hidden = max(c // self.reduction, 1)
+        dt = compute_dtype()
         y = conv_ops.global_avg_pool(x)  # (B, C)
-        y = nn.Dense(hidden, use_bias=False, kernel_init=dense_init)(y)
+        y = nn.Dense(hidden, use_bias=False, kernel_init=dense_init, dtype=dt)(y)
         y = nn.relu(y)
-        y = nn.Dense(c, use_bias=False, kernel_init=dense_init)(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=dense_init, dtype=dt)(y)
         y = nn.sigmoid(y)
         return x * y[:, None, None, :]
 

@@ -54,10 +54,19 @@ def conv2d(
     ``precision=None`` uses the backend default (bf16-through-MXU on TPU —
     the fast training path); pass ``'highest'`` for full f32.
     """
+    from ..utils.policy import cast_compute, compute_dtype
+
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    return lax.conv_general_dilated(
+    if precision is None:
+        x, kernel = cast_compute(x), cast_compute(kernel)
+        if x.dtype != jnp.float32:
+            # a widening preferred_element_type breaks the conv transpose
+            # (gradient) rule with bf16 operands; MXU accumulation is f32
+            # internally regardless, so emit the operand dtype directly
+            preferred_element_type = None
+    out = lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(sh, sw),
@@ -68,6 +77,7 @@ def conv2d(
         precision=precision,
         preferred_element_type=preferred_element_type,
     )
+    return out.astype(compute_dtype()) if precision is None else out
 
 
 def conv_transpose2d(
@@ -98,6 +108,8 @@ def conv_transpose2d(
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
     dh, dw = _pair(dilation)
+    from ..utils.policy import cast_compute, compute_dtype
+
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad_h = dh * (kh - 1) - ph
     pad_w = dw * (kw - 1) - pw
@@ -105,7 +117,11 @@ def conv_transpose2d(
         "conv_transpose2d requires d*(k-1) >= padding "
         f"(got k={(kh, kw)}, d={(dh, dw)}, p={(ph, pw)})"
     )
-    return lax.conv_general_dilated(
+    if precision is None:
+        x, kernel = cast_compute(x), cast_compute(kernel)
+        if x.dtype != jnp.float32:
+            preferred_element_type = None  # see conv2d note
+    out = lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(1, 1),
@@ -117,6 +133,7 @@ def conv_transpose2d(
         precision=precision,
         preferred_element_type=preferred_element_type,
     )
+    return out.astype(compute_dtype()) if precision is None else out
 
 
 def avg_pool2d(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:

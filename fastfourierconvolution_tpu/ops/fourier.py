@@ -38,6 +38,24 @@ Impl = Literal["fft", "dft", "auto"]
 
 _DEFAULT_IMPL: Impl = "auto"
 
+# Matmul precision for the DFT factor contractions. "highest" = full f32
+# (bit-accurate transforms, the test/golden setting); "high" = bf16x3
+# passes (~f32 accuracy at roughly half the MXU cost on TPU); "default" =
+# single bf16 pass (fastest, ~1e-2 relative transform error — fine for
+# GAN training, not for numerics tests).
+_DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_dft_precision(precision) -> None:
+    global _DFT_PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+    _DFT_PRECISION = precision
+
 
 def set_default_impl(impl: Impl) -> None:
     """Set the process-wide default transform implementation."""
@@ -133,12 +151,23 @@ def rfft2_ortho(
     """
     h, w = x.shape[-3], x.shape[-2]
     if resolve_impl(impl) == "fft":
-        f = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
-        return jnp.real(f), jnp.imag(f)
+        dt = x.dtype
+        f = jnp.fft.rfft2(
+            x.astype(jnp.float32), axes=(-3, -2), norm="ortho"
+        )
+        return jnp.real(f).astype(dt), jnp.imag(f).astype(dt)
 
-    ah, bh, cw, dw = (jnp.asarray(m) for m in _forward_factors(h, w))
-    x = x.astype(jnp.float32)
-    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    from ..utils.policy import compute_dtype
+
+    dt = compute_dtype()
+    ah, bh, cw, dw = (
+        jnp.asarray(m).astype(dt) for m in _forward_factors(h, w)
+    )
+    x = x.astype(dt)
+    # bf16 operands with a multi-pass precision would be upcast again;
+    # the policy dtype decides the effective precision.
+    prec = _DFT_PRECISION if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    ein = functools.partial(jnp.einsum, precision=prec)
     # W-axis half transform: t = x @ (cw + i dw)   -> (N, H, Wf, C)
     t_r = ein("nhwc,wv->nhvc", x, cw)
     t_i = ein("nhwc,wv->nhvc", x, dw)
@@ -161,11 +190,21 @@ def irfft2_ortho(
     """
     h, w = s
     if resolve_impl(impl) == "fft":
-        f = jax.lax.complex(f_r, f_i)
-        return jnp.fft.irfft2(f, s=s, axes=(-3, -2), norm="ortho")
+        dt = f_r.dtype
+        f = jax.lax.complex(
+            f_r.astype(jnp.float32), f_i.astype(jnp.float32)
+        )
+        return jnp.fft.irfft2(f, s=s, axes=(-3, -2), norm="ortho").astype(dt)
 
-    eh_r, eh_i, fw_r, fw_i = (jnp.asarray(m) for m in _inverse_factors(h, w))
-    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    from ..utils.policy import compute_dtype
+
+    dt = compute_dtype()
+    eh_r, eh_i, fw_r, fw_i = (
+        jnp.asarray(m).astype(dt) for m in _inverse_factors(h, w)
+    )
+    f_r, f_i = f_r.astype(dt), f_i.astype(dt)
+    prec = _DFT_PRECISION if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    ein = functools.partial(jnp.einsum, precision=prec)
     # P = eh @ F  (complex), over the H axis
     p_r = ein("pu,nuvc->npvc", eh_r, f_r) - ein("pu,nuvc->npvc", eh_i, f_i)
     p_i = ein("pu,nuvc->npvc", eh_r, f_i) + ein("pu,nuvc->npvc", eh_i, f_r)

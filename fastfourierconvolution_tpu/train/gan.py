@@ -110,6 +110,7 @@ class GANTrainer:
         conditional: bool = False,
         num_classes: int = 0,
         d_lr: Optional[float] = None,
+        fused_dis_batch: bool = False,
     ):
         self.g_model = g_model
         self.d_model = d_model
@@ -117,6 +118,13 @@ class GANTrainer:
         self.num_dis_updates = num_dis_updates
         self.conditional = conditional
         self.num_classes = num_classes
+        # One concatenated D forward over [fake; real] instead of two.
+        # Halves the D kernel count per update — safe for BN-free
+        # discriminators (the SN family); keep False for BN'd ones, whose
+        # per-batch statistics it would mix. Reference parity note: torch
+        # runs one SN power iteration per forward, so fusing also means 1
+        # iteration instead of 2 per D step (inconsequential).
+        self.fused_dis_batch = fused_dis_batch
         self.gen_loss, self.dis_loss = LOSS_PAIRS[loss]
         self.g_tx = make_optimizer(lr, total_steps, b1, b2, kind=optimizer)
         # D's optax step count advances num_dis_updates times per global
@@ -168,21 +176,25 @@ class GANTrainer:
         (only shapes/dtypes matter).
         """
         rng, g_rng, d_rng, z_rng, n_rng = jax.random.split(rng, 5)
-        b = sample_batch.shape[0]
+        # init shapes don't depend on batch size: use a tiny batch so the
+        # (jitted) init trace is cheap even for large training batches
+        b = 2
         z = jax.random.normal(z_rng, (b, self.z_size))
+        sample_small = jnp.zeros((b,) + sample_batch.shape[1:],
+                                 sample_batch.dtype)
         y = (
             jnp.zeros((b,), jnp.int32)
             if self.conditional
             else None
         )
         g_args = (z, True, y) if self.conditional else (z, True)
-        g_variables = self.g_model.init(
+        g_variables = jax.jit(self.g_model.init, static_argnums=2)(
             {"params": g_rng, "noise": n_rng}, *g_args
         )
         d_args = (
-            (sample_batch, True, y) if self.conditional else (sample_batch, True)
+            (sample_small, True, y) if self.conditional else (sample_small, True)
         )
-        d_variables = self.d_model.init(
+        d_variables = jax.jit(self.d_model.init, static_argnums=2)(
             {"params": d_rng, "noise": n_rng}, *d_args
         )
 
@@ -267,6 +279,16 @@ class GANTrainer:
             def d_loss_fn(d_params):
                 dv = dict(d_aux_in)
                 dv["params"] = d_params
+                if self.fused_dis_batch:
+                    both = jnp.concatenate([fake, real], axis=0)
+                    y2 = (
+                        jnp.concatenate([labels, labels], axis=0)
+                        if labels is not None
+                        else None
+                    )
+                    logits, upd = self._apply_d(dv, both, y=y2, rng=dn1)
+                    fake_logits, real_logits = jnp.split(logits, 2, axis=0)
+                    return self.dis_loss(fake_logits, real_logits), upd
                 fake_logits, upd1 = self._apply_d(dv, fake, y=labels, rng=dn1)
                 dv2 = self._merge(dv, upd1)
                 real_logits, upd2 = self._apply_d(dv2, real, y=labels, rng=dn2)
@@ -294,6 +316,30 @@ class GANTrainer:
         )
         metrics = {"loss_g": loss_g, "loss_d": loss_d}
         return new_state, metrics
+
+    def update_steps(
+        self,
+        state: GANState,
+        reals: jax.Array,
+        labels: Optional[jax.Array] = None,
+    ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        """K chained update steps under one jit via lax.scan.
+
+        ``reals``: (K, B, H, W, C); ``labels``: (K, B) when conditional.
+        Amortises per-step dispatch overhead (a real cost on small
+        batches); returns per-step metric arrays of shape (K,).
+        """
+
+        def body(s, xs):
+            if labels is not None:
+                r, y = xs
+                s2, m = self.update_step(s, r, y)
+            else:
+                s2, m = self.update_step(s, xs)
+            return s2, m
+
+        xs = (reals, labels) if labels is not None else reals
+        return jax.lax.scan(body, state, xs)
 
     # -- sampling ----------------------------------------------------------------
 

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 def hinge_loss_dis(fake_logits: jax.Array, real_logits: jax.Array) -> jax.Array:
     assert fake_logits.ndim == 2 and fake_logits.shape[1] == 1, fake_logits.shape
     assert real_logits.shape == fake_logits.shape
+    fake_logits = fake_logits.astype(jnp.float32)
+    real_logits = real_logits.astype(jnp.float32)
     return (
         jnp.mean(jax.nn.relu(1.0 - real_logits))
         + jnp.mean(jax.nn.relu(1.0 + fake_logits))
@@ -35,7 +37,7 @@ def hinge_loss_dis(fake_logits: jax.Array, real_logits: jax.Array) -> jax.Array:
 
 def hinge_loss_gen(fake_logits: jax.Array) -> jax.Array:
     assert fake_logits.ndim == 2 and fake_logits.shape[1] == 1, fake_logits.shape
-    return -jnp.mean(fake_logits)
+    return -jnp.mean(fake_logits.astype(jnp.float32))
 
 
 # --- BCE (classic DCGAN) ----------------------------------------------------
@@ -44,7 +46,7 @@ def hinge_loss_gen(fake_logits: jax.Array) -> jax.Array:
 def bce_loss(probs: jax.Array, target: float) -> jax.Array:
     """Binary cross-entropy on probabilities (the reference's nn.BCELoss
     applied to sigmoid-headed discriminators)."""
-    probs = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    probs = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
     t = jnp.full_like(probs, target)
     return -jnp.mean(t * jnp.log(probs) + (1.0 - t) * jnp.log(1.0 - probs))
 
@@ -61,11 +63,13 @@ def bce_loss_gen(fake_probs: jax.Array) -> jax.Array:
 
 
 def wgan_loss_dis(fake_logits: jax.Array, real_logits: jax.Array) -> jax.Array:
-    return jnp.mean(fake_logits) - jnp.mean(real_logits)
+    return jnp.mean(fake_logits.astype(jnp.float32)) - jnp.mean(
+        real_logits.astype(jnp.float32)
+    )
 
 
 def wgan_loss_gen(fake_logits: jax.Array) -> jax.Array:
-    return -jnp.mean(fake_logits)
+    return -jnp.mean(fake_logits.astype(jnp.float32))
 
 
 def gradient_penalty(

@@ -178,3 +178,38 @@ def test_checkpoint_roundtrip(tmp_path):
         save_checkpoint(state, ckpt_dir, step=s, keep=3)
     names = sorted(os.listdir(ckpt_dir))
     assert len(names) == 3
+
+
+def test_native_batcher_matches_numpy():
+    from fastfourierconvolution_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native batcher not built and no compiler available")
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (64, 8, 8, 3), dtype=np.uint8)
+    idx = np.asarray([5, 2, 9], np.int64)
+    out = native.gather_normalize(imgs, idx)
+    ref = imgs[idx].astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    flipped = native.gather_normalize(imgs, idx, hflip=True)
+    np.testing.assert_allclose(flipped, ref[:, :, ::-1], atol=1e-6)
+    sh = native.shuffle_indices(100, 7)
+    assert sorted(sh.tolist()) == list(range(100))
+
+
+def test_loader_uses_native_fast_path():
+    ds = SyntheticDataset(n=40, size=8)
+    loader = DataLoader(ds, batch_size=8, seed=0)
+    x, y = next(iter(loader))
+    assert x.shape == (8, 8, 8, 3) and x.dtype == np.float32
+    # values match the slow path exactly
+    loader2 = DataLoader(ds, batch_size=8, seed=0)
+    order = loader2._epoch_order()
+    imgs, labels = zip(*(ds[int(i)] for i in order[:8]))
+    # regenerate same order for comparison
+    loader3 = DataLoader(ds, batch_size=8, seed=0)
+    x3, y3 = loader3._gather(order[:8])
+    ref = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(x3, ref, atol=1e-6)
