@@ -17,4 +17,13 @@ from .pipeline import (  # noqa: F401
     register_dataset,
     registered_datasets,
 )
+from .lpips import LPIPS, VGG16, create_lpips  # noqa: F401
+from .ppl import (  # noqa: F401
+    INTERPOLATIONS,
+    batch_lerp,
+    batch_slerp_any,
+    batch_slerp_unit,
+    calculate_ppl,
+)
 from .resize import resize_bilinear_tf1  # noqa: F401
+from . import registry  # noqa: F401

@@ -1,0 +1,57 @@
+"""Registries for metric-pipeline components.
+
+Mirrors the reference's registry surface
+(reference torch_fidelity/registry.py:28-199): datasets (delegated to
+eval.pipeline), feature extractors, sample similarities, noise sources,
+latent interpolations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from .pipeline import register_dataset, registered_datasets  # noqa: F401
+from .ppl import INTERPOLATIONS, sample_random
+
+FEATURE_EXTRACTORS: Dict[str, Callable] = {}
+SAMPLE_SIMILARITIES: Dict[str, Callable] = {}
+NOISE_SOURCES: Dict[str, Callable] = {
+    "normal": lambda rng, shape: sample_random(rng, shape, "normal"),
+    "unit": lambda rng, shape: sample_random(rng, shape, "unit"),
+    "uniform_0_1": lambda rng, shape: sample_random(rng, shape, "uniform_0_1"),
+}
+
+
+def register_feature_extractor(name: str, factory: Callable) -> None:
+    assert name not in FEATURE_EXTRACTORS, f"extractor '{name}' exists"
+    FEATURE_EXTRACTORS[name] = factory
+
+
+def register_sample_similarity(name: str, factory: Callable) -> None:
+    assert name not in SAMPLE_SIMILARITIES, f"similarity '{name}' exists"
+    SAMPLE_SIMILARITIES[name] = factory
+
+
+def register_noise_source(name: str, fn: Callable) -> None:
+    assert name not in NOISE_SOURCES, f"noise source '{name}' exists"
+    NOISE_SOURCES[name] = fn
+
+
+def register_interpolation(name: str, fn: Callable) -> None:
+    assert name not in INTERPOLATIONS, f"interpolation '{name}' exists"
+    INTERPOLATIONS[name] = fn
+
+
+def _register_builtins() -> None:
+    from .inception import create_extractor
+    from .lpips import VGG16, create_lpips
+
+    if "inception-v3-compat" not in FEATURE_EXTRACTORS:
+        FEATURE_EXTRACTORS["inception-v3-compat"] = create_extractor
+    if "vgg16" not in FEATURE_EXTRACTORS:
+        FEATURE_EXTRACTORS["vgg16"] = VGG16
+    if "lpips-vgg16" not in SAMPLE_SIMILARITIES:
+        SAMPLE_SIMILARITIES["lpips-vgg16"] = create_lpips
+
+
+_register_builtins()

@@ -52,8 +52,8 @@ def test_ffc_cond_generator_dense_stem_48():
 
 
 def test_ffc_cond_generator_128_preset():
-    g = FFCCondGenerator.for_preset("tex128", z_size=16, ngf=8)
-    z = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+    g = FFCCondGenerator.for_preset("tex128", z_size=8, ngf=4)
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 8))
     y = jnp.asarray([0, 1])
     out, _ = _apply(g, z, True, y)
     assert out.shape == (2, 128, 128, 3)
@@ -88,20 +88,20 @@ def test_ffc_cond_discriminator():
 
 
 def test_cond_dcgan_pair_64():
-    g = CondDCGANGenerator(nz=16, nc=3, ngf=64, num_classes=10)
+    g = CondDCGANGenerator(nz=16, nc=3, ngf=32, num_classes=10)
     z = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
     y = jnp.asarray([3, 4])
     out, _ = _apply(g, z, True, y)
-    assert out.shape == (2, 64, 64, 3)
-    d = CondDCGANDiscriminator(nc=3, ndf=64, num_classes=10, use_sn=True)
+    assert out.shape == (2, 32, 32, 3)
+    d = CondDCGANDiscriminator(nc=3, ndf=32, num_classes=10, use_sn=True)
     logits, _ = _apply(d, out, True, y)
     assert logits.shape == (2, 1)
     assert (np.asarray(logits) >= 0).all() and (np.asarray(logits) <= 1).all()
 
 
 def test_ffc_cond_dcgan_discriminator_64():
-    d = FFCCondDCGANDiscriminator(nc=3, ndf=64, num_classes=10)
-    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    d = FFCCondDCGANDiscriminator(nc=3, ndf=32, num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 3))
     y = jnp.asarray([0, 9])
     out, _ = _apply(d, x, True, y)
     assert out.shape == (2, 1)

@@ -67,9 +67,8 @@ def test_update_step_changes_params_and_decreases_nothing_nan(
     assert l2_diff(state.d.spectral, new_state.d.spectral) > 0
     # BN running stats advanced
     assert l2_diff(state.g.batch_stats, new_state.g.batch_stats) > 0
-    # several consecutive steps stay finite
-    for _ in range(3):
-        new_state, metrics = step(new_state, real)
+    # another step stays finite
+    new_state, metrics = step(new_state, real)
     assert np.isfinite(float(metrics["loss_g"]))
     fg, _ = jax.flatten_util.ravel_pytree(new_state.g.params)
     assert np.isfinite(np.asarray(fg)).all()
