@@ -72,6 +72,23 @@ def run_train(cfg) -> None:
     loader = DataLoader(dataset, t.batch_size, seed=t.seed)
     batches = loader.epochs()
 
+    # register the eval-side real set (reference register_dataset,
+    # util/data_loader.py:65-80: e.g. 'svhn-32') and use it as input2
+    if (cfg.eval.fid or cfg.eval.kid) and cfg.eval.input2_dataset is None:
+        from .eval import register_dataset as register_eval_dataset
+
+        name = f"{cfg.data.dataset}-{cfg.data.image_size}"
+
+        def _load_real(n=cfg.eval.num_samples_for_metrics):
+            take = min(n, len(dataset))
+            imgs = np.stack([dataset[i][0] for i in range(take)])
+            if imgs.shape[-1] == 1:  # grayscale -> RGB for the extractor
+                imgs = np.repeat(imgs, 3, axis=-1)
+            return imgs
+
+        register_eval_dataset(name, _load_real)
+        cfg.eval.input2_dataset = name
+
     rng = jax.random.PRNGKey(t.seed)
     sample = jnp.zeros(
         (t.batch_size, cfg.data.image_size, cfg.data.image_size,
@@ -150,10 +167,19 @@ def run_train(cfg) -> None:
         logger.flush()
         if cfg.eval.isc or cfg.eval.fid or cfg.eval.kid:
             try:
+                def _gen_uint8(z, labels=None):
+                    out = to_uint8(trainer.generate(state, z, labels))
+                    if out.shape[-1] == 1:
+                        # grayscale -> RGB repeat, the reference's
+                        # reshape_output contract
+                        # (models/conditional/ffc_cond_generator.py:96-114)
+                        import jax.numpy as jnp
+
+                        out = jnp.repeat(out, 3, axis=-1)
+                    return out
+
                 gm = GenerativeModel(
-                    apply=lambda z, labels=None: to_uint8(
-                        trainer.generate(state, z, labels)
-                    ),
+                    apply=_gen_uint8,
                     z_size=cfg.model.z_size,
                     num_classes=(
                         cfg.model.num_classes if cfg.model.conditional else 0
