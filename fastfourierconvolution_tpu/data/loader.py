@@ -79,16 +79,26 @@ class DataLoader:
             yield self._gather(order[ends:])
 
     def epochs(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Infinite batch stream with background prefetch."""
+        """Infinite batch stream with background prefetch.
+
+        The producer uses a timed ``put`` so that when the consumer goes
+        away (``stop`` set from the ``finally``) it can never stay
+        blocked on a full queue — the round-1 thread-leak fix.
+        """
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             while not stop.is_set():
                 for batch in self:
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
                     if stop.is_set():
                         return
-                    q.put(batch)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -97,3 +107,10 @@ class DataLoader:
                 yield q.get()
         finally:
             stop.set()
+            # drain so the producer's in-flight put can complete, then join
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=2.0)

@@ -296,12 +296,16 @@ def find_local_weights() -> Optional[str]:
     return None
 
 
-def load_torch_weights(path: str, features_list=FEATURE_NAMES) -> Dict:
+def load_torch_weights(path, features_list=FEATURE_NAMES) -> Dict:
     """Convert the torch-fidelity InceptionV3 state dict to this module's
-    variables (OIHW -> HWIO, fc transposed). Requires torch (cpu)."""
-    import torch
+    variables (OIHW -> HWIO, fc transposed). ``path`` may be a .pth file
+    path or an in-memory torch state dict."""
+    if isinstance(path, (str, bytes)):
+        import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    else:
+        sd = path
     params: Dict = {}
 
     def put(path_keys: List[str], value: np.ndarray):

@@ -81,7 +81,13 @@ class VGG16Features(nn.Module):
 
 class VGG16(nn.Module):
     """Full VGG16 with classifier, exposing 'fc2' / 'fc2_relu' features
-    (the PRC default layer, reference feature_extractor_vgg16.py)."""
+    (the PRC default layer, reference feature_extractor_vgg16.py).
+
+    Preprocessing matches the reference exactly
+    (feature_extractor_vgg16.py:72-84): TF1-exact bilinear resize to
+    224 (align_corners=False) — NOT torch interpolate area/bilinear —
+    then the 255-rescaled torchvision normalisation.
+    """
 
     features_list: Sequence[str] = ("fc2_relu",)
 
@@ -89,12 +95,12 @@ class VGG16(nn.Module):
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
         assert x.dtype == jnp.uint8, "VGG16 extractor expects uint8 images"
         x = x.astype(jnp.float32)
-        x = resize_bilinear_area_or_bilinear(x, (224, 224))
+        x = resize_bilinear_tf1(x, (224, 224), align_corners=False)
         mean = jnp.asarray([0.485, 0.456, 0.406]) * 255.0
         std = jnp.asarray([0.229, 0.224, 0.225]) * 255.0
         x = (x - mean) / std
         taps = VGG16Features(name="features")(x)
-        x = _max_pool2(taps[-1])  # final pool after relu5_3
+        x = _max_pool2(taps[-1])  # final pool after relu5_3 -> (B,7,7,512)
         x = x.reshape(x.shape[0], -1)
         out: Dict[str, jax.Array] = {}
         for i, feat in enumerate((4096, 4096)):
@@ -201,30 +207,86 @@ def _bilinear_half_pixel_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 # --- weight conversion -------------------------------------------------------
 
+# torchvision vgg16().features indices of the 13 conv layers
+_TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 
-def load_lpips_torch_weights(lpips_path: str, vgg_path: Optional[str] = None):
+
+def _load_sd(path_or_dict):
+    if isinstance(path_or_dict, (str, bytes)):
+        import torch
+
+        return torch.load(path_or_dict, map_location="cpu", weights_only=True)
+    return path_or_dict
+
+
+def _to_np(t):
+    return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+
+def _convert_vgg_features(vgg_sd, prefix: str = "features.") -> Dict:
+    """torchvision ``features.N.{weight,bias}`` -> conv{li}_{kernel,bias}
+    (OIHW -> HWIO)."""
+    out: Dict = {}
+    for li, torch_li in enumerate(_TORCH_CONV_IDX):
+        w = _to_np(vgg_sd[f"{prefix}{torch_li}.weight"])
+        b = _to_np(vgg_sd[f"{prefix}{torch_li}.bias"])
+        out[f"conv{li}_kernel"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+        out[f"conv{li}_bias"] = jnp.asarray(b)
+    return out
+
+
+def load_vgg16_torch_weights(path_or_dict) -> Dict:
+    """Convert a torchvision vgg16 state dict to the :class:`VGG16`
+    extractor's variables.
+
+    The fc1 kernel needs a layout permutation on top of the transpose:
+    torch flattens NCHW activations (25088 = C*H*W); this module
+    flattens NHWC (H*W*C). ``classifier.0.weight`` (4096, 25088) is
+    reshaped to (4096, 512, 7, 7), permuted to (7, 7, 512, 4096) and
+    flattened back so both models compute the same linear map.
+    """
+    sd = _load_sd(path_or_dict)
+    params: Dict = {"features": _convert_vgg_features(sd)}
+    w0 = _to_np(sd["classifier.0.weight"])  # (4096, 512*7*7) CHW-ordered
+    params["fc0_kernel"] = jnp.asarray(
+        w0.reshape(4096, 512, 7, 7).transpose(2, 3, 1, 0).reshape(-1, 4096)
+    )
+    params["fc0_bias"] = jnp.asarray(_to_np(sd["classifier.0.bias"]))
+    params["fc1_kernel"] = jnp.asarray(_to_np(sd["classifier.3.weight"]).T)
+    params["fc1_bias"] = jnp.asarray(_to_np(sd["classifier.3.bias"]))
+    return {"params": params}
+
+
+def create_vgg16(
+    features_list: Sequence[str] = ("fc2_relu",),
+    weights_path: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """Build (module, variables) for the VGG16 extractor; converts a
+    torchvision state dict when provided, random init otherwise."""
+    module = VGG16(features_list=tuple(features_list))
+    if weights_path is not None:
+        variables = load_vgg16_torch_weights(weights_path)
+    else:
+        dummy = jnp.zeros((1, 8, 8, 3), jnp.uint8)
+        variables = module.init(rng or jax.random.PRNGKey(0), dummy)
+    return module, variables
+
+
+def load_lpips_torch_weights(lpips_path, vgg_path=None):
     """Convert toshas LPIPS heads (+ torchvision vgg16 features) to this
     module's variables. The toshas checkpoint stores only the lin heads;
-    the VGG16 backbone comes from a torchvision vgg16 state dict."""
-    import torch
-
+    the VGG16 backbone comes from a torchvision vgg16 state dict.
+    Both arguments accept a path or an in-memory state dict."""
     variables: Dict = {"params": {"net": {}}}
-    heads = torch.load(lpips_path, map_location="cpu", weights_only=True)
+    heads = _load_sd(lpips_path)
     for i in range(5):
         key = f"lin{i}.model.1.weight"  # (1, C, 1, 1)
         variables["params"][f"lin{i}_kernel"] = jnp.asarray(
-            heads[key].numpy().reshape(-1, 1)
+            _to_np(heads[key]).reshape(-1, 1)
         )
-    if vgg_path:
-        vgg = torch.load(vgg_path, map_location="cpu", weights_only=True)
-        conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-        for li, torch_li in enumerate(conv_idx):
-            w = vgg[f"features.{torch_li}.weight"].numpy()
-            b = vgg[f"features.{torch_li}.bias"].numpy()
-            variables["params"]["net"][f"conv{li}_kernel"] = jnp.asarray(
-                np.transpose(w, (2, 3, 1, 0))
-            )
-            variables["params"]["net"][f"conv{li}_bias"] = jnp.asarray(b)
+    if vgg_path is not None:
+        variables["params"]["net"] = _convert_vgg_features(_load_sd(vgg_path))
     return variables
 
 

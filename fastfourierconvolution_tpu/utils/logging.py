@@ -34,10 +34,13 @@ class ScalarLogger:
         self._jsonl = open(self.jsonl_path, "a")
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
-        self._csv.writerow(
-            [step, scalars.get("loss_g"), scalars.get("loss_d"),
-             scalars.get("lr")]
-        )
+        # the CSV mirrors the reference's gan_losses.csv (loss rows only);
+        # metric/other scalars go to the JSONL stream
+        if "loss_g" in scalars:
+            self._csv.writerow(
+                [step, scalars.get("loss_g"), scalars.get("loss_d"),
+                 scalars.get("lr")]
+            )
         self._jsonl.write(
             json.dumps({"step": step, "time": time.time(), **scalars}) + "\n"
         )
@@ -62,9 +65,13 @@ def save_loss_plot(csv_path: str, out_path: Optional[str] = None) -> str:
     steps, g, d = [], [], []
     with open(csv_path) as f:
         for row in csv.DictReader(f):
+            if not row.get("loss_G") or not row.get("loss_D"):
+                continue  # tolerate partial rows (e.g. legacy metric rows)
             steps.append(int(row["step"]))
             g.append(float(row["loss_G"]))
             d.append(float(row["loss_D"]))
+    if not steps:
+        raise ValueError(f"no loss rows in {csv_path}")
     out_path = out_path or csv_path.replace(".csv", ".png")
     plt.figure(figsize=(10, 5))
     plt.title("Generator and Discriminator Loss During Training")

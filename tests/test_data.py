@@ -213,3 +213,23 @@ def test_loader_uses_native_fast_path():
     x3, y3 = loader3._gather(order[:8])
     ref = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(x3, ref, atol=1e-6)
+
+
+def test_loader_epochs_producer_terminates():
+    """Round-1 leak fix: closing the epochs() generator must unblock and
+    join the background producer even when the prefetch queue is full."""
+    import threading
+
+    ds = SyntheticDataset(n=64, size=8, channels=1, seed=0)
+    before = threading.active_count()
+    loader = DataLoader(ds, batch_size=4, seed=0, prefetch=2)
+    gen = loader.epochs()
+    next(gen)
+    gen.close()  # triggers the finally: stop + drain + join
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before, "producer thread leaked"
