@@ -67,6 +67,7 @@ def test_make_grid_shapes():
     assert grid.shape[0] == 3 * 10 + 2  # ceil(10/4)=3 rows
 
 
+@pytest.mark.slow
 def test_driver_end_to_end_tiny(tmp_path):
     """Short synthetic training run through the real CLI driver."""
     from fastfourierconvolution_tpu.cli import main

@@ -15,6 +15,8 @@ from fastfourierconvolution_tpu.models import (
 )
 from fastfourierconvolution_tpu.train import GANTrainer
 
+pytestmark = pytest.mark.slow
+
 RNGS = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
 
 

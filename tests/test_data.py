@@ -140,6 +140,7 @@ def test_load_dataset_factory_synthetic():
     assert len(ds) == 2048
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -79,6 +79,7 @@ def test_ffc_ratio1_global_only():
     assert set(variables["params"].keys()) == {"convg2g"}
 
 
+@pytest.mark.slow
 def test_ffc_transpose_upsamples_2x():
     x_l = jnp.zeros((2, 8, 8, 24))
     x_g = jnp.zeros((2, 8, 8, 8))
@@ -89,6 +90,7 @@ def test_ffc_transpose_upsamples_2x():
     assert out_g.shape == (2, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_ffc_bn_act_full_block():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 32).astype(np.float32))
     blk = fnn.FFC_BN_ACT(32, 16, 4, ratio_gin=0.0, ratio_gout=0.25, stride=2,
@@ -103,6 +105,7 @@ def test_ffc_bn_act_full_block():
     assert any(np.abs(np.asarray(v)).sum() > 0 for k, v in flat.items() if k[-1] == "mean")
 
 
+@pytest.mark.slow
 def test_conditional_bn_path():
     x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 16).astype(np.float32))
     y = jnp.asarray([0, 1, 2, 3])
@@ -165,6 +168,7 @@ def test_resize_output():
     assert fnn.resize_output(a).shape == (1, 2, 2, 3)
 
 
+@pytest.mark.slow
 def test_lfu_enabled_works():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16).astype(np.float32))
     st = fnn.SpectralTransform(out_channels=16, enable_lfu=True)

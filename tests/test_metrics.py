@@ -195,6 +195,7 @@ def test_tf1_resize_matches_reference_algorithm(align, in_hw, out_hw):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_random_extractor():
     """Full calculate_metrics run with a random-weights extractor:
     same-images FID must be ~0, ISC/KID finite, caching round-trips."""
@@ -218,6 +219,7 @@ def test_pipeline_end_to_end_random_extractor():
     assert out[KEY_PRC_PRECISION] > 0.9
 
 
+@pytest.mark.slow
 def test_pipeline_generative_model_input():
     gm = P.GenerativeModel(
         apply=lambda z: (
@@ -239,6 +241,7 @@ def test_pipeline_generative_model_input():
     assert np.isfinite(out[KEY_FID])
 
 
+@pytest.mark.slow
 def test_dataset_registry(tmp_path):
     rng = np.random.RandomState(0)
     data = (rng.rand(48, 8, 8, 3) * 255).astype(np.uint8)

@@ -14,6 +14,8 @@ from fastfourierconvolution_tpu.parallel import (
 )
 from fastfourierconvolution_tpu.train import GANTrainer
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny():
     g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2, channel_mults=(4, 2))

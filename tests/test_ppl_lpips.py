@@ -51,6 +51,7 @@ def test_area_resize_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_lpips_zero_for_identical_and_positive_for_different():
     module, variables = create_lpips(resize=16)
     rng = np.random.RandomState(0)

@@ -14,6 +14,9 @@ from fastfourierconvolution_tpu.models import (
     SNGANGenerator,
 )
 from fastfourierconvolution_tpu.ops.conv import upsample_bilinear_torch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RNGS = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
 

@@ -27,6 +27,7 @@ def tiny_trainer_and_state():
     return trainer, state
 
 
+@pytest.mark.slow
 def test_generator_output_shape(tiny_trainer_and_state):
     trainer, state = tiny_trainer_and_state
     z = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
@@ -44,6 +45,7 @@ def test_uint8_eval_contract(tiny_trainer_and_state):
     np.testing.assert_array_equal(np.asarray(to_uint8(x)), [0, 0, 127, 255, 255])
 
 
+@pytest.mark.slow
 def test_update_step_changes_params_and_decreases_nothing_nan(
     tiny_trainer_and_state,
 ):
@@ -74,6 +76,7 @@ def test_update_step_changes_params_and_decreases_nothing_nan(
     assert np.isfinite(np.asarray(fg)).all()
 
 
+@pytest.mark.slow
 def test_num_dis_updates(tiny_trainer_and_state):
     g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2, channel_mults=(4, 2, 1))
     d = SNConvDiscriminator(
@@ -96,6 +99,7 @@ def test_linear_lr_decay_schedule():
     np.testing.assert_allclose(float(sched(jnp.asarray(200))), 0.0)
 
 
+@pytest.mark.slow
 def test_bce_dcgan_pair():
     from fastfourierconvolution_tpu.models import (
         DCGANDiscriminator,
