@@ -44,12 +44,31 @@ def register_interpolation(name: str, fn: Callable) -> None:
 
 def _register_builtins() -> None:
     from .inception import create_extractor
-    from .lpips import VGG16, create_lpips
+    from .lpips import create_lpips, create_vgg16
 
     if "inception-v3-compat" not in FEATURE_EXTRACTORS:
-        FEATURE_EXTRACTORS["inception-v3-compat"] = create_extractor
+        FEATURE_EXTRACTORS["inception-v3-compat"] = {
+            "factory": create_extractor,
+            "provided": (
+                "64", "192", "768", "2048", "logits_unbiased", "logits",
+            ),
+            # reference feature_extractor_inceptionv3.py:212-218
+            "default_layers": {
+                "isc": "logits_unbiased",
+                "fid": "2048",
+                "kid": "2048",
+                "prc": "2048",
+            },
+        }
     if "vgg16" not in FEATURE_EXTRACTORS:
-        FEATURE_EXTRACTORS["vgg16"] = VGG16
+        FEATURE_EXTRACTORS["vgg16"] = {
+            "factory": create_vgg16,
+            "provided": ("fc2", "fc2_relu"),
+            # reference feature_extractor_vgg16.py:104-112
+            "default_layers": {
+                m: "fc2_relu" for m in ("isc", "fid", "kid", "prc")
+            },
+        }
     if "lpips-vgg16" not in SAMPLE_SIMILARITIES:
         SAMPLE_SIMILARITIES["lpips-vgg16"] = create_lpips
 

@@ -62,6 +62,8 @@ class EvalConfig:
     isc: bool = True
     fid: bool = True
     kid: bool = False
+    prc: bool = False
+    ppl: bool = False
     num_samples_for_metrics: int = 10_000
     input2_dataset: Optional[str] = None  # registered real-set name
     leading_metric: str = "ISC"  # ISC|FID|KID|PPL

@@ -1,0 +1,184 @@
+"""Metric-orchestrator routing: per-metric extractor defaults, the
+PRC->vgg16 dual-extractor split, explicit extractor/layer overrides,
+ppl= flag, the persistent extractor cache, and the fidelity CLI
+(reference torch_fidelity/metrics.py:20-349, utils.py:28-33,325-346,
+fidelity.py:21-340)."""
+
+from __future__ import annotations
+
+import json
+import os
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastfourierconvolution_tpu.eval import pipeline as P
+from fastfourierconvolution_tpu.eval import registry as R
+from fastfourierconvolution_tpu.eval.metrics import KEY_FID
+
+
+class _ToyModule:
+    """A featureful stand-in extractor: cheap deterministic features."""
+
+    def __init__(self, features_list, dim):
+        self.features_list = tuple(features_list)
+        self.dim = dim
+
+    def apply(self, variables, x):
+        xf = x.astype(jnp.float32) / 255.0
+        flat = xf.reshape(xf.shape[0], -1)
+        out = {}
+        for i, name in enumerate(self.features_list):
+            take = flat[:, : self.dim] * (i + 1)
+            out[name] = take + jnp.arange(self.dim)[None, :] * 0.01
+        return out
+
+
+def _toy_factory(dim):
+    def factory(features_list, weights_path=None):
+        return _ToyModule(features_list, dim), {}
+
+    return factory
+
+
+@pytest.fixture()
+def toy_extractors(monkeypatch):
+    R.FEATURE_EXTRACTORS["toy-a"] = {
+        "factory": _toy_factory(8),
+        "provided": ("la1", "la2"),
+        "default_layers": {
+            "isc": "la1", "fid": "la2", "kid": "la2", "prc": "la2"
+        },
+    }
+    R.FEATURE_EXTRACTORS["toy-b"] = {
+        "factory": _toy_factory(6),
+        "provided": ("lb",),
+        "default_layers": {m: "lb" for m in ("isc", "fid", "kid", "prc")},
+    }
+    monkeypatch.setitem(P.DEFAULT_FEATURE_EXTRACTOR, "isc", "toy-a")
+    monkeypatch.setitem(P.DEFAULT_FEATURE_EXTRACTOR, "fid", "toy-a")
+    monkeypatch.setitem(P.DEFAULT_FEATURE_EXTRACTOR, "kid", "toy-a")
+    monkeypatch.setitem(P.DEFAULT_FEATURE_EXTRACTOR, "prc", "toy-b")
+    yield
+    R.FEATURE_EXTRACTORS.pop("toy-a", None)
+    R.FEATURE_EXTRACTORS.pop("toy-b", None)
+    P._EXTRACTOR_CACHE.clear()
+
+
+def _imgs(n=24, size=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, size, size, 3) * 255).astype(np.uint8)
+
+
+def test_explicit_extractor_and_layer_override(toy_extractors):
+    imgs = _imgs()
+    out = P.calculate_metrics(
+        imgs, _imgs(seed=1),
+        fid=True,
+        feature_extractor="toy-a",
+        feature_layer_fid="la1",
+        batch_size=8,
+        cache=False,
+    )
+    assert np.isfinite(out[KEY_FID])
+    # the cache holds one toy-a extractor with exactly the la1 layer
+    keys = [k for k in P._EXTRACTOR_CACHE if k[0] == "toy-a"]
+    assert keys and keys[0][1] == ("la1",)
+
+
+def test_dual_extractor_split_prc_vs_inception_defaults(toy_extractors):
+    """prc + (isc|fid|kid) with default extractors must fan out to two
+    extractors (reference metrics.py:325-347)."""
+    out = P.calculate_metrics(
+        _imgs(), _imgs(seed=2),
+        isc=True, fid=True, prc=True,
+        batch_size=8,
+        kid_subsets=2, kid_subset_size=8,
+        cache=False,
+    )
+    assert {"inception_score_mean", KEY_FID, "precision"} <= set(out)
+    names = {k[0] for k in P._EXTRACTOR_CACHE}
+    assert {"toy-a", "toy-b"} <= names
+
+
+def test_single_extractor_when_forced(toy_extractors):
+    P._EXTRACTOR_CACHE.clear()
+    out = P.calculate_metrics(
+        _imgs(), _imgs(seed=3),
+        fid=True, prc=True,
+        feature_extractor="toy-a",
+        batch_size=8,
+        cache=False,
+    )
+    assert {KEY_FID, "precision"} <= set(out)
+    names = {k[0] for k in P._EXTRACTOR_CACHE}
+    assert names == {"toy-a"}
+
+
+def test_extractor_cache_is_persistent(toy_extractors):
+    a = P.get_feature_extractor("toy-a", ("la1",), batch_size=8)
+    b = P.get_feature_extractor("toy-a", ("la1",), batch_size=8)
+    assert a is b
+    c = P.get_feature_extractor("toy-a", ("la2",), batch_size=8)
+    assert c is not a
+
+
+def test_ppl_flag_routes_to_calculate_ppl(toy_extractors):
+    calls = {}
+
+    def fake_ppl(model, **kw):
+        calls.update(kw)
+        return {"perceptual_path_length_mean": 1.5,
+                "perceptual_path_length_std": 0.1}
+
+    from fastfourierconvolution_tpu.eval import ppl as ppl_mod
+
+    orig = ppl_mod.calculate_ppl
+    ppl_mod.calculate_ppl = fake_ppl
+    try:
+        gm = P.GenerativeModel(
+            apply=lambda z: jnp.zeros((z.shape[0], 8, 8, 3), jnp.uint8),
+            z_size=4,
+        )
+        out = P.calculate_metrics(
+            gm, ppl=True, ppl_epsilon=1e-2, input1_model_num_samples=16,
+            batch_size=8, cache=False,
+        )
+    finally:
+        ppl_mod.calculate_ppl = orig
+    assert out["perceptual_path_length_mean"] == 1.5
+    assert calls["epsilon"] == 1e-2
+    assert calls["num_samples"] == 16
+
+
+def test_fidelity_cli_npz_and_dir_inputs(tmp_path, toy_extractors, capsys):
+    from PIL import Image
+
+    from fastfourierconvolution_tpu.cli import main
+
+    imgs = _imgs(16)
+    np.savez(tmp_path / "gen.npz", images=imgs)
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    for i, im in enumerate(_imgs(16, seed=5)):
+        Image.fromarray(im).save(real_dir / f"s{i:03d}.png")
+
+    main([
+        "fidelity",
+        str(tmp_path / "gen.npz"),
+        str(real_dir),
+        "-f", "-j", "--no-cache", "--silent",
+        "--feature-extractor", "toy-a",
+        "-b", "8",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out[KEY_FID])
+
+
+def test_fidelity_cli_requires_a_metric(tmp_path):
+    from fastfourierconvolution_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["fidelity", "nonexistent-input"])
