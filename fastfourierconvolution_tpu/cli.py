@@ -43,8 +43,11 @@ def run_train(cfg) -> None:
     policy.set_compute_dtype(t.precision)
     g_model, d_model = build_models(cfg)
     # fused [fake; real] D pass is numerics-identical only for BN-free
-    # discriminators (the SN conv families)
-    fused = cfg.model.discriminator in ("sn_conv", "cond_sn_conv", "sn_dcgan")
+    # discriminators (the SN conv families); aw-method needs split passes
+    fused = (
+        cfg.model.discriminator in ("sn_conv", "cond_sn_conv", "sn_dcgan")
+        and not t.aw_method
+    )
     trainer = GANTrainer(
         g_model,
         d_model,
@@ -60,6 +63,8 @@ def run_train(cfg) -> None:
         conditional=cfg.model.conditional,
         num_classes=cfg.model.num_classes,
         fused_dis_batch=fused,
+        gp_lambda=t.gp_lambda,
+        aw_method=t.aw_method,
     )
 
     dataset = load_dataset(

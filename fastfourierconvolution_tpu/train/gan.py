@@ -85,6 +85,27 @@ LOSS_PAIRS = {
     "hinge": (L.hinge_loss_gen, L.hinge_loss_dis),
     "bce": (L.bce_loss_gen, L.bce_loss_dis),
     "wgan": (L.wgan_loss_gen, L.wgan_loss_dis),
+    # wgan-gp: wgan pair + gradient penalty added in the D update
+    # (reference benchmark_models/sagan/trainer.py:107-148)
+    "wgan-gp": (L.wgan_loss_gen, L.wgan_loss_dis),
+}
+
+# real/fake D-loss terms for the aw-method's two-gradient combination
+# (reference layers/aw_loss.py:13-107 computes separate backward passes
+# for Dloss_real and Dloss_fake)
+LOSS_SPLIT = {
+    "hinge": (
+        lambda real: jnp.mean(jax.nn.relu(1.0 - real.astype(jnp.float32))),
+        lambda fake: jnp.mean(jax.nn.relu(1.0 + fake.astype(jnp.float32))),
+    ),
+    "bce": (
+        lambda real: L.bce_loss(real, 1.0),
+        lambda fake: L.bce_loss(fake, 0.0),
+    ),
+    "wgan": (
+        lambda real: -jnp.mean(real.astype(jnp.float32)),
+        lambda fake: jnp.mean(fake.astype(jnp.float32)),
+    ),
 }
 
 
@@ -111,6 +132,12 @@ class GANTrainer:
         num_classes: int = 0,
         d_lr: Optional[float] = None,
         fused_dis_batch: bool = False,
+        gp_lambda: float = 10.0,
+        aw_method: bool = False,
+        aw_alpha1: float = 0.5,
+        aw_alpha2: float = 0.75,
+        aw_delta: float = 0.05,
+        aw_epsilon: float = 0.05,
     ):
         self.g_model = g_model
         self.d_model = d_model
@@ -118,6 +145,16 @@ class GANTrainer:
         self.num_dis_updates = num_dis_updates
         self.conditional = conditional
         self.num_classes = num_classes
+        self.loss_name = loss
+        self.use_gp = loss == "wgan-gp"
+        self.gp_lambda = gp_lambda
+        self.aw_method = aw_method
+        self.aw_params = (aw_alpha1, aw_alpha2, aw_delta, aw_epsilon)
+        if aw_method:
+            assert loss in LOSS_SPLIT, f"aw-method unsupported for {loss}"
+            assert not fused_dis_batch, (
+                "aw-method needs separate real/fake D passes"
+            )
         # One concatenated D forward over [fake; real] instead of two.
         # Halves the D kernel count per update — safe for BN-free
         # discriminators (the SN family); keep False for BN'd ones, whose
@@ -265,7 +302,7 @@ class GANTrainer:
         # ---- discriminator updates -------------------------------------------
         loss_d = jnp.zeros(())
         for _ in range(self.num_dis_updates):
-            rng, z_rng, noise_rng, dn1, dn2 = jax.random.split(rng, 5)
+            rng, z_rng, noise_rng, dn1, dn2, gp_rng = jax.random.split(rng, 6)
             z = jax.random.normal(z_rng, (b, self.z_size))
             g_vars = self._g_vars(g_state)
             fake, g_updates = self._apply_g(g_vars, z, noise_rng, y=labels)
@@ -288,18 +325,66 @@ class GANTrainer:
                     )
                     logits, upd = self._apply_d(dv, both, y=y2, rng=dn1)
                     fake_logits, real_logits = jnp.split(logits, 2, axis=0)
-                    return self.dis_loss(fake_logits, real_logits), upd
-                fake_logits, upd1 = self._apply_d(dv, fake, y=labels, rng=dn1)
-                dv2 = self._merge(dv, upd1)
-                real_logits, upd2 = self._apply_d(dv2, real, y=labels, rng=dn2)
-                return (
-                    self.dis_loss(fake_logits, real_logits),
-                    self._merge(upd1, upd2),
-                )
+                    loss = self.dis_loss(fake_logits, real_logits)
+                else:
+                    fake_logits, upd1 = self._apply_d(
+                        dv, fake, y=labels, rng=dn1
+                    )
+                    dv2 = self._merge(dv, upd1)
+                    real_logits, upd2 = self._apply_d(
+                        dv2, real, y=labels, rng=dn2
+                    )
+                    loss = self.dis_loss(fake_logits, real_logits)
+                    upd = self._merge(upd1, upd2)
+                if self.use_gp:
+                    # WGAN-GP (reference sagan/trainer.py:130-148):
+                    # double-backprop through D on interpolates; the
+                    # collection updates of this extra pass are discarded
+                    def d_of_x(x):
+                        logits, _ = self._apply_d(dv, x, y=labels, rng=dn1)
+                        return logits
 
-            (loss_d, d_updates), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True
-            )(d_state.params)
+                    loss = loss + self.gp_lambda * L.gradient_penalty(
+                        d_of_x, real, fake, gp_rng
+                    )
+                return loss, upd
+
+            def aw_grads(d_params):
+                """Two separate real/fake gradient passes combined with
+                the aw-method (reference layers/aw_loss.py Alg. 1)."""
+                real_term, fake_term = LOSS_SPLIT[self.loss_name]
+
+                def real_fn(p):
+                    dv = dict(d_aux_in)
+                    dv["params"] = p
+                    logits, upd = self._apply_d(dv, real, y=labels, rng=dn2)
+                    return real_term(logits), (logits, upd)
+
+                def fake_fn(p):
+                    dv = dict(d_aux_in)
+                    dv["params"] = p
+                    logits, upd = self._apply_d(dv, fake, y=labels, rng=dn1)
+                    return fake_term(logits), (logits, upd)
+
+                (l_r, (real_logits, upd_r)), g_r = jax.value_and_grad(
+                    real_fn, has_aux=True
+                )(d_params)
+                (l_f, (fake_logits, upd_f)), g_f = jax.value_and_grad(
+                    fake_fn, has_aux=True
+                )(d_params)
+                a1, a2, delta, eps = self.aw_params
+                combined, _w_r, _w_f = L.aw_combine(
+                    g_r, g_f, real_logits, fake_logits,
+                    alpha1=a1, alpha2=a2, delta=delta, epsilon=eps,
+                )
+                return l_r + l_f, self._merge(upd_f, upd_r), combined
+
+            if self.aw_method:
+                loss_d, d_updates, d_grads = aw_grads(d_state.params)
+            else:
+                (loss_d, d_updates), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(d_state.params)
             d_upd, d_opt_state = self.d_tx.update(
                 d_grads, d_state.opt_state, d_state.params
             )

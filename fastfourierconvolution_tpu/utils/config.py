@@ -51,7 +51,9 @@ class TrainConfig:
     d_lr: Optional[float] = None  # TTUR when set
     beta1: float = 0.5
     beta2: float = 0.999
-    loss: str = "hinge"  # hinge|bce|wgan
+    loss: str = "hinge"  # hinge|bce|wgan|wgan-gp
+    gp_lambda: float = 10.0  # wgan-gp penalty weight (sagan parameter.py:18)
+    aw_method: bool = False  # aw-method D-gradient combination (aw_loss.py)
     optimizer: str = "adamw"  # adamw|adam
     seed: int = 0
     precision: str = "f32"  # f32|bf16 (activation compute dtype)
@@ -173,7 +175,7 @@ PRESETS: Dict[str, Dict] = {
         data=dict(dataset="cifar10", image_size=32),
         model=dict(generator="sagan", discriminator="sagan", z_size=128),
         train=dict(lr=1e-4, d_lr=4e-4, beta1=0.0, beta2=0.9,
-                   num_dis_updates=5, optimizer="adam"),
+                   num_dis_updates=5, optimizer="adam", loss="wgan-gp"),
         eval=dict(isc=True, fid=True, kid=True),
     ),
 }
