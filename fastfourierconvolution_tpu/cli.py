@@ -73,6 +73,7 @@ def run_train(cfg) -> None:
         cfg.data.image_size,
         cfg.data.channels,
         hflip_augment=cfg.data.hflip_augment,
+        aug_stack=cfg.data.aug_stack,
     )
     loader = DataLoader(dataset, t.batch_size, seed=t.seed)
     batches = loader.epochs()

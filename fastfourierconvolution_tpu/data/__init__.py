@@ -2,6 +2,7 @@
 
 from .datasets import (  # noqa: F401
     ArrayDataset,
+    AUG_STACKS,
     ConcatDataset,
     ImageFolderDataset,
     SyntheticDataset,
@@ -9,6 +10,7 @@ from .datasets import (  # noqa: F401
     TransformedDataset,
     is_grayscale,
     load_cifar10,
+    apply_aug_stack,
     load_dataset,
     load_mnist,
     load_stl10,

@@ -295,8 +295,30 @@ def _resize_center_crop(img, size: int):
 
 
 class TransformedDataset:
-    """Applies resize/center-crop + channel conversion + optional
-    horizontal flip to an underlying dataset, emitting uint8 HWC."""
+    """Applies resize + channel conversion + the reference's forced /
+    random augmentations to an underlying dataset, emitting uint8 HWC.
+
+    Mirrors the torchvision transform stacks of the reference
+    (util/data_loader.py:83-221, 347-419):
+
+      * ``resize_mode='crop'``: short-side resize + center crop (the
+        reference load_data path, :448-470); ``'squash'``: plain
+        ``Resize((s, s))`` as in the aug loaders.
+      * ``hflip`` / ``vflip``: forced flips (``Random*Flip(1.0)``).
+      * ``random_crop_scale``: resize to scale*s then RandomCrop(s)
+        (load_flowers random_crop_transform, :146-151).
+      * ``random_crop_native``: RandomCrop(s) straight from the source
+        image (load_cars, :94-99).
+      * ``pre_crop``: RandomCrop(pre_crop) then resize to s
+        (load_cond_stl random_crop, :358-365).
+      * ``color_jitter``: ColorJitter(brightness=.5, hue=.1) +
+        RandomAdjustSharpness(2) + RandomAutocontrast + RandomEqualize
+        (load_cond_stl color_sharp_transform, :374-384).
+
+    Random transforms re-sample per access, like torch's; ``seed``
+    makes a dataset instance reproducible (stream keyed on seed+index
+    +access count).
+    """
 
     def __init__(
         self,
@@ -304,15 +326,31 @@ class TransformedDataset:
         size: int,
         channels: int = 3,
         hflip: bool = False,
+        vflip: bool = False,
+        random_crop_scale: Optional[float] = None,
+        random_crop_native: bool = False,
+        pre_crop: Optional[int] = None,
+        color_jitter: bool = False,
+        resize_mode: str = "crop",
+        seed: Optional[int] = None,
     ):
         self.base = base
         self.size = size
         self.channels = channels
         self.hflip = hflip
+        self.vflip = vflip
+        self.random_crop_scale = random_crop_scale
+        self.random_crop_native = random_crop_native
+        self.pre_crop = pre_crop
+        self.color_jitter = color_jitter
+        self.resize_mode = resize_mode
+        self._rng = np.random.RandomState(seed) if seed is not None else np.random
         # Expose the underlying contiguous store when this transform is a
         # no-op, enabling the native gather fast path (data/native.py).
         if (
-            not hflip
+            not any((hflip, vflip, color_jitter, random_crop_native))
+            and random_crop_scale is None
+            and pre_crop is None
             and isinstance(getattr(base, "images", None), np.ndarray)
             and base.images.shape[1:] == (size, size, channels)
         ):
@@ -321,6 +359,38 @@ class TransformedDataset:
 
     def __len__(self) -> int:
         return len(self.base)
+
+    def _rand_crop(self, pil, crop: int):
+        from PIL import Image
+
+        w, h = pil.size
+        if w < crop or h < crop:  # torch pads; upscale is close enough here
+            pil = pil.resize((max(w, crop), max(h, crop)), Image.BILINEAR)
+            w, h = pil.size
+        left = int(self._rng.randint(0, w - crop + 1))
+        top = int(self._rng.randint(0, h - crop + 1))
+        return pil.crop((left, top, left + crop, top + crop))
+
+    def _jitter(self, pil):
+        from PIL import ImageEnhance, ImageOps
+
+        rng = self._rng
+        # ColorJitter(brightness=0.5): factor ~ U(0.5, 1.5)
+        pil = ImageEnhance.Brightness(pil).enhance(rng.uniform(0.5, 1.5))
+        # ColorJitter(hue=0.1): shift ~ U(-0.1, 0.1) in HSV space
+        shift = rng.uniform(-0.1, 0.1)
+        hsv = np.asarray(pil.convert("HSV"), np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+        from PIL import Image
+
+        pil = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+        if rng.rand() < 0.5:  # RandomAdjustSharpness(2, p=0.5)
+            pil = ImageEnhance.Sharpness(pil).enhance(2.0)
+        if rng.rand() < 0.5:  # RandomAutocontrast(p=0.5)
+            pil = ImageOps.autocontrast(pil)
+        if rng.rand() < 0.5:  # RandomEqualize(p=0.5)
+            pil = ImageOps.equalize(pil)
+        return pil
 
     def __getitem__(self, i: int) -> Item:
         from PIL import Image
@@ -331,10 +401,27 @@ class TransformedDataset:
         else:
             pil = img
         pil = _to_mode(pil, self.channels)
-        if pil.size != (self.size, self.size):
-            pil = _resize_center_crop(pil, self.size)
+        if self.color_jitter and self.channels == 3:
+            pil = self._jitter(pil)
+        s = self.size
+        if self.random_crop_native:
+            pil = self._rand_crop(pil, s)
+        elif self.pre_crop is not None:
+            pil = self._rand_crop(pil, self.pre_crop)
+            pil = pil.resize((s, s), Image.BILINEAR)
+        elif self.random_crop_scale is not None:
+            big = int(s * self.random_crop_scale)
+            pil = pil.resize((big, big), Image.BILINEAR)
+            pil = self._rand_crop(pil, s)
+        elif pil.size != (s, s):
+            if self.resize_mode == "squash":
+                pil = pil.resize((s, s), Image.BILINEAR)
+            else:
+                pil = _resize_center_crop(pil, s)
         if self.hflip:
             pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.vflip:
+            pil = pil.transpose(Image.FLIP_TOP_BOTTOM)
         arr = np.asarray(pil, np.uint8)
         if arr.ndim == 2:
             arr = arr[..., None]
@@ -356,6 +443,65 @@ class ConcatDataset:
     def __getitem__(self, i: int) -> Item:
         k = int(np.searchsorted(self.offsets, i, side="right")) - 1
         return self.datasets[k][i - int(self.offsets[k])]
+
+
+# --- augmentation-by-concatenation stacks ------------------------------------
+#
+# The reference multiplies its datasets by concatenating transform
+# variants. Effective multipliers over the split union, matched here:
+#   flowers  x5 (identity, hflip, vflip, hflip+vflip, resize1.25+randcrop)
+#            (reference util/data_loader.py:134-221 — x15 = 3 splits x 5)
+#   cars     x3 (identity, hflip, native random crop)         (:83-132)
+#   textures x2 (identity, hflip)                             (:224-263)
+#   stl_cond x4 (randcrop60+resize, hflip, color-jitter stack, identity)
+#            (reference :347-419 — x8 = 2 splits x 4)
+#   hflip    x2 (identity, hflip) — the celeba stack          (:298-344)
+
+AUG_STACKS = {
+    "flowers": (
+        dict(resize_mode="squash"),
+        dict(hflip=True, resize_mode="squash"),
+        dict(vflip=True, resize_mode="squash"),
+        dict(hflip=True, vflip=True, resize_mode="squash"),
+        dict(random_crop_scale=1.25),
+    ),
+    "cars": (
+        dict(resize_mode="squash"),
+        dict(hflip=True, resize_mode="squash"),
+        dict(random_crop_native=True),
+    ),
+    "textures": (
+        dict(resize_mode="squash"),
+        dict(hflip=True, resize_mode="squash"),
+    ),
+    "stl_cond": (
+        dict(pre_crop=60),
+        dict(hflip=True, resize_mode="squash"),
+        dict(color_jitter=True, resize_mode="squash"),
+        dict(resize_mode="squash"),
+    ),
+    "hflip": (
+        dict(),
+        dict(hflip=True),
+    ),
+}
+
+
+def apply_aug_stack(
+    base, stack: str, size: int, channels: int = 3, seed: Optional[int] = 0
+):
+    """base dataset -> ConcatDataset of the named transform stack."""
+    specs = AUG_STACKS[stack]
+    return ConcatDataset(
+        [
+            TransformedDataset(
+                base, size, channels,
+                seed=None if seed is None else seed + i,
+                **spec,
+            )
+            for i, spec in enumerate(specs)
+        ]
+    )
 
 
 # --- registry (the Datasets enum equivalent, config/datasets.py:7-26) --------
@@ -382,11 +528,14 @@ def load_dataset(
     channels: int = 3,
     split: str = "train",
     hflip_augment: bool = False,
+    aug_stack: Optional[str] = None,
 ):
     """Config-driven dataset factory (reference load_data,
     util/data_loader.py:431-542): resolves the named dataset / folder /
     tar / synthetic source and wraps it with resize + channel transforms;
-    optional horizontal-flip concat augmentation."""
+    ``aug_stack`` applies one of the reference's concat-augmentation
+    stacks (AUG_STACKS); ``hflip_augment`` is shorthand for the 'hflip'
+    stack (celeba, :298-344)."""
     lname = name.lower()
     if lname == "synthetic":
         base = SyntheticDataset(size=image_size, channels=channels)
@@ -402,9 +551,12 @@ def load_dataset(
     else:
         raise KeyError(f"unknown dataset '{name}'")
 
-    ds = TransformedDataset(base, image_size, channels)
-    if hflip_augment:
-        ds = ConcatDataset(
-            [ds, TransformedDataset(base, image_size, channels, hflip=True)]
-        )
-    return ds
+    if aug_stack is None and hflip_augment:
+        aug_stack = "hflip"
+    if aug_stack is not None:
+        if aug_stack not in AUG_STACKS:
+            raise KeyError(
+                f"unknown aug stack '{aug_stack}'; have {list(AUG_STACKS)}"
+            )
+        return apply_aug_stack(base, aug_stack, image_size, channels)
+    return TransformedDataset(base, image_size, channels)

@@ -193,6 +193,12 @@ class SNConvDiscriminator(nn.Module):
     def for_resolution(resolution: int, **kw) -> "SNConvDiscriminator":
         mg = kw.pop("mg", 6 if resolution in (48, 96) else 4)
         base = {48: 32, 96: 64}.get(resolution, resolution)
+        if base not in _D_LADDERS:
+            raise ValueError(
+                f"sn_conv discriminator has no ladder for resolution "
+                f"{resolution}; supported: {sorted(_D_LADDERS)} (+48/96), "
+                f"or pass an explicit ladder=..."
+            )
         return SNConvDiscriminator(ladder=_D_LADDERS[base], mg=mg, **kw)
 
 

@@ -23,6 +23,7 @@ class DataConfig:
     image_size: int = 32
     channels: int = 3
     hflip_augment: bool = False
+    aug_stack: Optional[str] = None  # flowers|cars|textures|stl_cond|hflip (AUG_STACKS)
     workers: int = 8  # kept for interface parity; loader uses one prefetch thread
 
 
@@ -115,7 +116,7 @@ PRESETS: Dict[str, Dict] = {
     ),
     # fgan128_complete.py: 128px Flowers, ngf 128 ratio 0.5
     "fgan128": dict(
-        data=dict(dataset="folder", image_size=128),
+        data=dict(dataset="folder", image_size=128, aug_stack="flowers"),
         model=dict(generator="ffc", discriminator="sn_conv", ngf=128,
                    ratio_g=0.5, mg=4),
         train=dict(batch_size=64),
@@ -131,7 +132,7 @@ PRESETS: Dict[str, Dict] = {
     ),
     # fgan_cond_complete.py STL-10 48px variant
     "fgan_cond48": dict(
-        data=dict(dataset="stl10", image_size=48),
+        data=dict(dataset="stl10", image_size=48, aug_stack="stl_cond"),
         model=dict(generator="ffc_cond", discriminator="cond_sn_conv",
                    conditional=True, num_classes=10, gen_preset="stl48",
                    mg=6),
@@ -140,7 +141,7 @@ PRESETS: Dict[str, Dict] = {
     ),
     # fgan128_cond_complete.py: textures 128px
     "fgan_cond128": dict(
-        data=dict(dataset="tar", image_size=128),
+        data=dict(dataset="tar", image_size=128, aug_stack="textures"),
         model=dict(generator="ffc_cond", discriminator="cond_sn_conv",
                    conditional=True, num_classes=10, gen_preset="tex128"),
         train=dict(batch_size=64),

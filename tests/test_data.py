@@ -234,3 +234,57 @@ def test_loader_epochs_producer_terminates():
         time.sleep(0.1)
         deadline -= 1
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_aug_stacks_multipliers_and_variants():
+    """Named concat-augmentation stacks reproduce the reference's
+    effective dataset multipliers over the split union
+    (util/data_loader.py:134-221 flowers x5, :83-132 cars x3,
+    :224-263 textures x2, :347-419 stl_cond x4, :298-344 hflip x2)."""
+    from fastfourierconvolution_tpu.data import AUG_STACKS, apply_aug_stack
+
+    base = SyntheticDataset(n=10, size=24, channels=3, seed=0)
+    mult = {"flowers": 5, "cars": 3, "textures": 2, "stl_cond": 4,
+            "hflip": 2}
+    assert set(AUG_STACKS) == set(mult)
+    for name, m in mult.items():
+        ds = apply_aug_stack(base, name, size=16, channels=3, seed=0)
+        assert len(ds) == m * len(base), name
+        img, _ = ds[0]
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8, name
+        # every segment yields valid items
+        for k in range(m):
+            img_k, _ = ds[k * len(base)]
+            assert img_k.shape == (16, 16, 3), (name, k)
+
+
+def test_aug_stack_flip_variants_are_exact_flips():
+    from fastfourierconvolution_tpu.data import apply_aug_stack
+
+    base = SyntheticDataset(n=4, size=16, channels=3, seed=1)
+    ds = apply_aug_stack(base, "flowers", size=16, channels=3, seed=0)
+    ident, _ = ds[0]
+    hflip, _ = ds[4]       # segment 1: forced hflip
+    vflip, _ = ds[8]       # segment 2: forced vflip
+    hvflip, _ = ds[12]     # segment 3: both
+    np.testing.assert_array_equal(hflip, ident[:, ::-1])
+    np.testing.assert_array_equal(vflip, ident[::-1, :])
+    np.testing.assert_array_equal(hvflip, ident[::-1, ::-1])
+
+
+def test_aug_stack_random_crop_shape_and_seed():
+    from fastfourierconvolution_tpu.data import TransformedDataset
+
+    base = SyntheticDataset(n=4, size=40, channels=3, seed=2)
+    a = TransformedDataset(base, 16, random_crop_scale=1.25, seed=7)
+    b = TransformedDataset(base, 16, random_crop_scale=1.25, seed=7)
+    img_a, _ = a[0]
+    img_b, _ = b[0]
+    assert img_a.shape == (16, 16, 3)
+    np.testing.assert_array_equal(img_a, img_b)  # seeded reproducibility
+
+
+def test_load_dataset_aug_stack_param():
+    ds = load_dataset("synthetic", "", image_size=16, channels=3,
+                      aug_stack="cars")
+    assert len(ds) == 3 * 1024  # SyntheticDataset default n=1024 -> x3
