@@ -17,7 +17,13 @@ from .pipeline import (  # noqa: F401
     register_dataset,
     registered_datasets,
 )
-from .lpips import LPIPS, VGG16, create_lpips  # noqa: F401
+from .lpips import LPIPS, VGG16, create_lpips, create_vgg16  # noqa: F401
+from .clip import CLIP_NAMES, CLIPExtractor, create_clip_extractor  # noqa: F401
+from .dinov2 import (  # noqa: F401
+    DINOV2_NAMES,
+    DINOv2Extractor,
+    create_dinov2_extractor,
+)
 from .ppl import (  # noqa: F401
     INTERPOLATIONS,
     batch_lerp,

@@ -72,5 +72,35 @@ def _register_builtins() -> None:
     if "lpips-vgg16" not in SAMPLE_SIMILARITIES:
         SAMPLE_SIMILARITIES["lpips-vgg16"] = create_lpips
 
+    import functools
+
+    from .clip import CLIP_NAMES, create_clip_extractor
+    from .dinov2 import DINOV2_NAMES, create_dinov2_extractor
+
+    for clip_name in CLIP_NAMES:
+        if clip_name not in FEATURE_EXTRACTORS:
+            FEATURE_EXTRACTORS[clip_name] = {
+                "factory": functools.partial(
+                    create_clip_extractor, name=clip_name
+                ),
+                "provided": ("clip",),
+                # reference feature_extractor_clip.py:529-536
+                "default_layers": {
+                    m: "clip" for m in ("isc", "fid", "kid", "prc")
+                },
+            }
+    for dino_name in DINOV2_NAMES:
+        if dino_name not in FEATURE_EXTRACTORS:
+            FEATURE_EXTRACTORS[dino_name] = {
+                "factory": functools.partial(
+                    create_dinov2_extractor, name=dino_name
+                ),
+                "provided": ("dinov2",),
+                # reference feature_extractor_dinov2.py:108-115
+                "default_layers": {
+                    m: "dinov2" for m in ("isc", "fid", "kid", "prc")
+                },
+            }
+
 
 _register_builtins()

@@ -156,3 +156,107 @@ def rel_err(a: np.ndarray, b: np.ndarray) -> float:
     """max |a-b| / max(|b|) — scale-aware comparison for deep stacks."""
     denom = max(float(np.max(np.abs(b))), 1e-6)
     return float(np.max(np.abs(a - b))) / denom
+
+
+# --- minimal torch DINOv2 (public facebookresearch/dinov2 architecture) -----
+# Used as the golden implementation for converter tests: the reference
+# extractor loads via torch.hub (network), so parity is checked against
+# this faithful local reimplementation of the published ViT.
+
+
+class MiniDINOv2(nn.Module):
+    """DINOv2 ViT backbone with the official state-dict schema:
+    patch_embed.proj, cls_token, pos_embed (interpolated at runtime with
+    the official bicubic/offset-0.1 formula), blocks.N.{norm1, attn.qkv,
+    attn.proj, ls1, norm2, mlp(.fc1/.fc2 | .w12/.w3), ls2}, norm."""
+
+    def __init__(self, dim, depth, heads, swiglu=False, pos_grid=16,
+                 patch=14):
+        super().__init__()
+        import math
+
+        self.dim, self.heads, self.patch = dim, heads, patch
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(
+            torch.zeros(1, pos_grid * pos_grid + 1, dim)
+        )
+        self.blocks = nn.ModuleList(
+            [self._block(dim, heads, swiglu) for _ in range(depth)]
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self._math = math
+
+    @staticmethod
+    def _block(dim, heads, swiglu):
+        blk = nn.Module()
+        blk.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        blk.attn = nn.Module()
+        blk.attn.qkv = nn.Linear(dim, 3 * dim)
+        blk.attn.proj = nn.Linear(dim, dim)
+        blk.ls1 = nn.Module()
+        blk.ls1.gamma = nn.Parameter(torch.ones(dim))
+        blk.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        blk.mlp = nn.Module()
+        if swiglu:
+            hidden = 4096 if dim == 1536 else (2 * 4 * dim) // 3
+            blk.mlp.w12 = nn.Linear(dim, 2 * hidden)
+            blk.mlp.w3 = nn.Linear(hidden, dim)
+            blk.mlp.swiglu = True
+        else:
+            blk.mlp.fc1 = nn.Linear(dim, 4 * dim)
+            blk.mlp.fc2 = nn.Linear(4 * dim, dim)
+            blk.mlp.swiglu = False
+        blk.ls2 = nn.Module()
+        blk.ls2.gamma = nn.Parameter(torch.ones(dim))
+        return blk
+
+    def _interp_pos(self, w0):
+        import torch.nn.functional as F
+
+        n = self.pos_embed.shape[1] - 1
+        m = int(round(n ** 0.5))
+        if m == w0:
+            return self.pos_embed
+        cls_pos, patch_pos = self.pos_embed[:, :1], self.pos_embed[:, 1:]
+        t = patch_pos.reshape(1, m, m, self.dim).permute(0, 3, 1, 2)
+        scale = float(w0 + 0.1) / m  # interpolate_offset = 0.1
+        t = torch.nn.functional.interpolate(
+            t, scale_factor=(scale, scale), mode="bicubic", antialias=False
+        )
+        t = t.permute(0, 2, 3, 1).reshape(1, w0 * w0, self.dim)
+        return torch.cat([cls_pos, t], dim=1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        b = x.shape[0]
+        x = self.patch_embed.proj(x)  # (B, D, g, g)
+        g = x.shape[-1]
+        x = x.flatten(2).transpose(1, 2)  # (B, g*g, D)
+        cls = self.cls_token.expand(b, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = x + self._interp_pos(g)
+        for blk in self.blocks:
+            h = blk.norm1(x)
+            qkv = blk.attn.qkv(h)
+            q, k, v = qkv.chunk(3, dim=-1)
+
+            def split(t):
+                return t.reshape(b, -1, self.heads,
+                                 self.dim // self.heads).transpose(1, 2)
+
+            att = F.scaled_dot_product_attention(split(q), split(k), split(v))
+            att = att.transpose(1, 2).reshape(b, -1, self.dim)
+            x = x + blk.attn.proj(att) * blk.ls1.gamma
+            h = blk.norm2(x)
+            if blk.mlp.swiglu:
+                x12 = blk.mlp.w12(h)
+                x1, x2 = x12.chunk(2, dim=-1)
+                h = blk.mlp.w3(F.silu(x1) * x2)
+            else:
+                h = blk.mlp.fc2(F.gelu(blk.mlp.fc1(h)))
+            x = x + h * blk.ls2.gamma
+        x = self.norm(x)
+        return x[:, 0]
