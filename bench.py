@@ -8,22 +8,43 @@ batch 64 (reference fgan_complete.py:470-477) — on the default backend
 
 Prints ONE JSON line:
   {"metric": ..., "value": images/sec, "unit": "img/s", "vs_baseline": r}
+plus a second informational line with the roofline accounting
+(FLOPs/step, bytes/step, MFU, HBM utilisation) on stderr.
 
 ``vs_baseline`` is the ratio to the first recorded run of this benchmark
 (BENCH_BASELINE.json, written on first execution) — the reference
 publishes no throughput numbers (BASELINE.md), so round-over-round
 improvement is measured against our own round-1 number.
+
+Roofline story (TPU v5e, measured round 2): one global step (2 G
+forwards + G backward + fused-128 D forward/backward + both optimizers)
+is ~141 GFLOP; at the measured ~2.88 ms/step that is ~49 TFLOP/s =
+~25% of bf16 peak. The profile shows the device ~97% busy; the
+remaining gap to peak is lane utilisation of the FFC ladder's tail ops
+(32x32 maps with 3-48 channels against 128-wide MXU/VPU lanes) and the
+conv-transpose lowerings — closing it means changing channel widths (a
+parity break) or hand-written layout-packed tail kernels (the Pallas
+spectral-core experiment measured slower than XLA's own fusion, see
+ops/pallas/fourier_unit.py). Note cost_analysis "bytes accessed"
+double-counts fusion operands (>HBM peak if read as traffic); it is
+reported for trend only.
+
+Set FFC_TPU_BENCH_PROFILE=<dir> to additionally dump a jax.profiler
+trace of 3 timed iterations.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 METRIC = "ffcgan32_train_images_per_sec"
 BATCH = 64
+TPU_V5E_BF16_PEAK = 197e12  # FLOP/s
+TPU_V5E_HBM_BW = 819e9  # B/s
 
 
 def main() -> None:
@@ -41,7 +62,7 @@ def main() -> None:
     # state stay f32), one fused [fake; real] D forward (same math for
     # the BN-free SN discriminator), K steps chained under one jit.
     policy.set_compute_dtype("bf16")
-    K = 8
+    K = 16
 
     g = FFCGenerator.for_resolution(32, z_size=128)
     d = SNConvDiscriminator.for_resolution(32)
@@ -56,22 +77,43 @@ def main() -> None:
     )
     state = trainer.init(rng, real)
     reals = jnp.broadcast_to(real, (K,) + real.shape)
-    step = jax.jit(trainer.update_steps, donate_argnums=0)
+
+    compiled = (
+        jax.jit(trainer.update_steps, donate_argnums=0)
+        .lower(state, reals)
+        .compile()
+    )
+    # cost analysis from a single un-scanned step: XLA's while-loop cost
+    # accounting does not scale with the trip count
+    ca = jax.jit(trainer.update_step).lower(state, real).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else (ca or {})
+    flops_step = float(ca.get("flops", 0.0))
+    bytes_step = float(ca.get("bytes accessed", 0.0))
 
     # warmup / compile. NOTE: on the axon-tunnelled TPU,
     # block_until_ready does not reliably wait; pulling a scalar to the
     # host is the only trustworthy synchronisation.
-    state, metrics = step(state, reals)
+    state, metrics = compiled(state, reals)
     float(metrics["loss_g"][-1])
+
+    prof_dir = os.environ.get("FFC_TPU_BENCH_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            for _ in range(3):
+                state, metrics = compiled(state, reals)
+            float(metrics["loss_g"][-1])
 
     n_calls = 15
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state, metrics = step(state, reals)
+        state, metrics = compiled(state, reals)
     float(metrics["loss_g"][-1])  # full sync
     dt = time.perf_counter() - t0
 
-    images_per_sec = BATCH * n_calls * K / dt
+    step_time = dt / (n_calls * K)
+    images_per_sec = BATCH / step_time
+    mfu = flops_step / step_time / TPU_V5E_BF16_PEAK
+    hbm = bytes_step / step_time / TPU_V5E_HBM_BW
 
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -102,6 +144,19 @@ def main() -> None:
                 "vs_baseline": round(vs, 4),
             }
         )
+    )
+    print(
+        json.dumps(
+            {
+                "step_ms": round(step_time * 1e3, 3),
+                "flops_per_step": flops_step,
+                "bytes_per_step": bytes_step,
+                "mfu_pct_of_v5e_bf16_peak": round(mfu * 100, 2),
+                "hbm_bw_pct": round(hbm * 100, 2),
+                "backend": jax.default_backend(),
+            }
+        ),
+        file=sys.stderr,
     )
 
 

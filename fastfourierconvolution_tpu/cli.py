@@ -167,8 +167,32 @@ def run_train(cfg) -> None:
         total=t.num_total_steps, initial=ini_step, desc="Training",
         unit="batch",
     )
+    # leading-metric comparator (reference fgan_complete.py:292-297,
+    # 441-444: ISC higher-is-better; FID/KID/PPL lower-is-better)
+    _LEADING = {
+        "ISC": ("inception_score_mean", +1),
+        "FID": ("frechet_inception_distance", -1),
+        "KID": ("kernel_inception_distance_mean", -1),
+        "PPL": ("perceptual_path_length_mean", -1),
+    }
+    lead_key, lead_sign = _LEADING.get(
+        cfg.eval.leading_metric.upper(), _LEADING["ISC"]
+    )
+    best_metric = None
     lr_of = lambda s: t.lr * max(0.0, 1.0 - s / t.num_total_steps)
     for step in range(ini_step, t.num_total_steps):
+        # jax.profiler hook (SURVEY §5.1): trace 3 steps on request
+        if cfg.log.profile_at_step is not None:
+            if step == cfg.log.profile_at_step:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.log.dir_logs, "profile")
+                )
+            elif step == cfg.log.profile_at_step + 3:
+                jax.profiler.stop_trace()
+                print(
+                    f"INFO: profiler trace written to "
+                    f"{os.path.join(cfg.log.dir_logs, 'profile')}"
+                )
         real, labels = next(batches)
         real = jax.device_put(jnp.asarray(real), b_shard)
         if cfg.model.conditional:
@@ -232,6 +256,28 @@ def run_train(cfg) -> None:
                         "eval_seconds": eval_secs,
                     },
                 )
+                if lead_key in metrics_out:
+                    value = float(metrics_out[lead_key])
+                    improved = (
+                        best_metric is None
+                        or lead_sign * value > lead_sign * best_metric
+                    )
+                    if improved:
+                        best_metric = value
+                        print(
+                            f"INFO: best {cfg.eval.leading_metric} so far:"
+                            f" {value:.5g} (step {next_step})"
+                        )
+                        if (
+                            cfg.log.checkpoint
+                            and cfg.log.best_metric_checkpoints
+                        ):
+                            save_checkpoint(
+                                jax.device_get(state),
+                                os.path.join(ckpt_dir, "best"),
+                                next_step,
+                                keep=1,
+                            )
             except Exception as e:  # metrics must never kill training
                 print(f"WARNING: metrics failed: {e}")
 

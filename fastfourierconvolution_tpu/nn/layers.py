@@ -272,10 +272,14 @@ class NoiseInjection(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.zeros, (1, 1, 1, c))
+        # draw in the activation dtype: f32 noise maps forced f32
+        # intermediates into otherwise-bf16 fusions (profiled round 2)
         noise = jax.random.normal(
-            self.make_rng("noise"), (x.shape[0], x.shape[1], x.shape[2], 1)
+            self.make_rng("noise"),
+            (x.shape[0], x.shape[1], x.shape[2], 1),
+            dtype=x.dtype,
         )
-        return x + weight * noise
+        return x + weight.astype(x.dtype) * noise
 
 
 class GaussianNoise(nn.Module):
