@@ -5,6 +5,7 @@ from .datasets import (  # noqa: F401
     AUG_STACKS,
     ConcatDataset,
     ImageFolderDataset,
+    ShapesDataset,
     SyntheticDataset,
     TarImageDataset,
     TransformedDataset,

@@ -50,6 +50,53 @@ class ArrayDataset:
         return self.images[i], int(self.labels[i])
 
 
+class ShapesDataset(ArrayDataset):
+    """Procedural structured images: anti-aliased ellipses / rectangles /
+    crosses in random colors over smooth gradient backgrounds, label =
+    shape class. A zero-egress stand-in with real visual structure so
+    end-to-end GAN runs produce learnable content and meaningful metric
+    trends (unlike uniform noise)."""
+
+    NUM_CLASSES = 3
+
+    def __init__(self, n: int = 8192, size: int = 32, channels: int = 3,
+                 seed: int = 2020):
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+        images = np.empty((n, size, size, channels), np.uint8)
+        labels = rng.randint(0, self.NUM_CLASSES, (n,)).astype(np.int64)
+        for i in range(n):
+            c0 = rng.uniform(0, 0.45, channels)
+            c1 = rng.uniform(0.55, 1.0, channels)
+            ang = rng.uniform(0, 2 * np.pi)
+            t = (np.cos(ang) * xx + np.sin(ang) * yy + 1.0) / 2.0
+            img = c0[None, None] + (c1 - c0)[None, None] * t[..., None]
+            cx, cy = rng.uniform(0.25, 0.75, 2)
+            rx, ry = rng.uniform(0.12, 0.3, 2)
+            color = rng.uniform(0, 1, channels)
+            k = labels[i]
+            if k == 0:  # ellipse
+                d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
+                mask = np.clip((1.0 - d) * 6.0, 0.0, 1.0)
+            elif k == 1:  # rectangle
+                mask = (
+                    np.clip((rx - np.abs(xx - cx)) * size, 0, 1)
+                    * np.clip((ry - np.abs(yy - cy)) * size, 0, 1)
+                )
+            else:  # cross
+                bar = rng.uniform(0.04, 0.08)
+                h = np.clip((bar - np.abs(yy - cy)) * size, 0, 1) * (
+                    np.abs(xx - cx) < rx
+                )
+                v = np.clip((bar - np.abs(xx - cx)) * size, 0, 1) * (
+                    np.abs(yy - cy) < ry
+                )
+                mask = np.clip(h + v, 0, 1)
+            img = img * (1 - mask[..., None]) + color[None, None] * mask[..., None]
+            images[i] = (img * 255).astype(np.uint8)
+        super().__init__(images, labels)
+
+
 class SyntheticDataset(ArrayDataset):
     """Seeded random uint8 images — the RandomlyGeneratedDataset test
     fixture (reference torch_fidelity/datasets.py:64-78)."""
@@ -539,6 +586,8 @@ def load_dataset(
     lname = name.lower()
     if lname == "synthetic":
         base = SyntheticDataset(size=image_size, channels=channels)
+    elif lname == "shapes":
+        base = ShapesDataset(size=image_size, channels=channels)
     elif lname in _LOADERS:
         base = _LOADERS[lname](data_dir, split=split)
     elif lname == "tar" or name.endswith(".tar"):

@@ -288,3 +288,18 @@ def test_load_dataset_aug_stack_param():
     ds = load_dataset("synthetic", "", image_size=16, channels=3,
                       aug_stack="cars")
     assert len(ds) == 3 * 1024  # SyntheticDataset default n=1024 -> x3
+
+
+def test_shapes_dataset_structure():
+    from fastfourierconvolution_tpu.data import ShapesDataset
+
+    ds = ShapesDataset(n=12, size=16, seed=0)
+    img, lbl = ds[0]
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    assert 0 <= lbl < ShapesDataset.NUM_CLASSES
+    # structured, not uniform noise: neighbouring pixels correlate
+    f = ds.images.astype(np.float32)
+    corr = np.corrcoef(f[:, :-1].ravel(), f[:, 1:].ravel())[0, 1]
+    assert corr > 0.8
+    ds2 = load_dataset("shapes", "", image_size=16, channels=3)
+    assert len(ds2) > 0
