@@ -32,6 +32,7 @@ def run_train(cfg) -> None:
     from .eval import GenerativeModel, calculate_metrics
     from .models import to_uint8
     from .parallel import batch_sharding, make_mesh, state_shardings
+    from .parallel.mesh import put_global_batch
     from .train import GANTrainer
     from .train.checkpoint import restore_latest, save_checkpoint
     from .utils.logging import ScalarLogger, save_image_grid, save_loss_plot
@@ -75,7 +76,13 @@ def run_train(cfg) -> None:
         hflip_augment=cfg.data.hflip_augment,
         aug_stack=cfg.data.aug_stack,
     )
-    loader = DataLoader(dataset, t.batch_size, seed=t.seed)
+    loader = DataLoader(
+        dataset,
+        t.batch_size,
+        seed=t.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     batches = loader.epochs()
 
     # register the eval-side real set (reference register_dataset,
@@ -131,7 +138,7 @@ def run_train(cfg) -> None:
             state = jax.device_put(state_restored, s_shard)
             print(f"INFO: resumed from step {ini_step}")
 
-    logger = ScalarLogger(cfg.log.dir_logs)
+    logger = ScalarLogger(cfg.log.dir_logs, tensorboard=cfg.log.tensorboard)
     z_vis = jax.random.normal(
         jax.random.PRNGKey(1234), (cfg.log.samples_grid, cfg.model.z_size)
     )
@@ -194,9 +201,9 @@ def run_train(cfg) -> None:
                     f"{os.path.join(cfg.log.dir_logs, 'profile')}"
                 )
         real, labels = next(batches)
-        real = jax.device_put(jnp.asarray(real), b_shard)
+        real = put_global_batch(b_shard, np.asarray(real))
         if cfg.model.conditional:
-            labels = jax.device_put(jnp.asarray(labels), b_shard)
+            labels = put_global_batch(b_shard, np.asarray(labels))
             state, metrics = step_fn(state, real, labels)
         else:
             state, metrics = step_fn(state, real)
@@ -286,9 +293,11 @@ def run_train(cfg) -> None:
             if cfg.model.conditional
             else gen_grid(state, z_vis)
         )
-        save_image_grid(
-            grid, os.path.join(cfg.log.dir_logs, f"{next_step:06d}.png")
-        )
+        from .utils.logging import make_grid
+
+        grid_path = os.path.join(cfg.log.dir_logs, f"{next_step:06d}.png")
+        save_image_grid(grid, grid_path)
+        logger.log_image_grid(next_step, make_grid(grid))
 
         if (
             cfg.log.checkpoint

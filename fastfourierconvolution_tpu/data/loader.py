@@ -38,13 +38,27 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch. With ``process_count > 1``
+        (multi-host pods) every host draws the same seeded epoch
+        permutation and yields only its ``batch_size / process_count``
+        slice of each global batch — the per-host input pipeline the
+        reference never needed (single-process nn.DataParallel,
+        SURVEY §2.8)."""
+        assert batch_size % max(process_count, 1) == 0, (
+            "global batch must divide evenly across hosts"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.local_batch = batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -73,10 +87,13 @@ class DataLoader:
         order = self._epoch_order()
         n_full = len(order) // self.batch_size
         ends = n_full * self.batch_size
+        lo = self.process_index * self.local_batch
+        hi = lo + self.local_batch
         for i in range(0, ends, self.batch_size):
-            yield self._gather(order[i : i + self.batch_size])
+            yield self._gather(order[i + lo : i + hi])
         if not self.drop_last and ends < len(order):
-            yield self._gather(order[ends:])
+            tail = order[ends:]
+            yield self._gather(tail[lo:hi] if self.process_count > 1 else tail)
 
     def epochs(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Infinite batch stream with background prefetch.

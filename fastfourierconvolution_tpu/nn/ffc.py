@@ -49,6 +49,7 @@ from .layers import (
     ConvTranspose2d,
     SELayer,
     SNConv2d,
+    SNConvTranspose2d,
     conv_init,
 )
 
@@ -305,6 +306,7 @@ class FFCTranspose(nn.Module):
     use_bias: bool = False
     enable_lfu: bool = False
     num_classes: int = 0
+    use_sn: bool = False
     impl: Optional[str] = None
 
     def setup(self):
@@ -315,6 +317,18 @@ class FFCTranspose(nn.Module):
         def make_convt(cin, cout, name):
             if cin == 0 or cout == 0:
                 return None
+            if self.use_sn:
+                # the working SN-transpose semantics (the reference's
+                # SNFFCTranspose is broken as checked in, SURVEY §1)
+                return SNConvTranspose2d(
+                    cout,
+                    self.kernel_size,
+                    stride=self.stride,
+                    padding=self.padding,
+                    output_padding=self.output_padding,
+                    use_bias=self.use_bias,
+                    name=name,
+                )
             return ConvTranspose2d(
                 cout,
                 self.kernel_size,
@@ -344,17 +358,24 @@ class FFCTranspose(nn.Module):
         else:
             self.convg2g = None
 
+    def _run(self, branch, x, train):
+        if branch is None or x is None:
+            return None
+        if isinstance(branch, SNConvTranspose2d):
+            return branch(x, train)
+        return branch(x)
+
     def __call__(
         self, x, train: bool, y: Optional[jax.Array] = None
     ) -> BranchPair:
         x_l, x_g = x if isinstance(x, tuple) else (x, None)
         out_l, out_g = None, None
         if self.ratio_gout != 1:
-            a = self.convl2l(x_l) if (self.convl2l is not None and x_l is not None) else None
-            b = self.convg2l(x_g) if (self.convg2l is not None and x_g is not None) else None
+            a = self._run(self.convl2l, x_l, train)
+            b = self._run(self.convg2l, x_g, train)
             out_l = _add_opt(a, b)
         if self.ratio_gout != 0:
-            a = self.convl2g(x_l) if (self.convl2g is not None and x_l is not None) else None
+            a = self._run(self.convl2g, x_l, train)
             b = (
                 self.convg2g(x_g, train, y)
                 if (self.convg2g is not None and x_g is not None)
@@ -412,6 +433,7 @@ class FFC_BN_ACT(nn.Module):
                 use_bias=self.use_bias,
                 enable_lfu=self.enable_lfu,
                 num_classes=self.num_classes,
+                use_sn=self.use_sn,
                 impl=self.impl,
                 name="ffc",
             )

@@ -55,6 +55,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global_batch(sharding: NamedSharding, local_batch: np.ndarray):
+    """Host-local batch slice -> global sharded array.
+
+    Single-process (the common case, incl. all CI): a plain device_put.
+    Multi-host pods: every host passes its own slice of the global batch
+    (see data/loader.py process sharding) and JAX assembles the global
+    array across hosts — the per-host input pipeline of SURVEY §2.8.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
 # --- parameter partition rules ----------------------------------------------
 
 # (regex on 'path/to/param', PartitionSpec) — first match wins; default

@@ -80,6 +80,7 @@ class LogConfig:
     log_every: int = 10
     samples_grid: int = 64  # fixed z_vis grid size
     loss_csv: bool = True
+    tensorboard: bool = True  # TB event records (reference SummaryWriter)
     profile_at_step: Optional[int] = None  # jax.profiler trace of 3 steps
     best_metric_checkpoints: bool = False  # keep best-leading-metric ckpt
 

@@ -21,9 +21,15 @@ import numpy as np
 
 
 class ScalarLogger:
-    """CSV + JSONL scalar logging."""
+    """CSV + JSONL + TensorBoard-event scalar logging.
 
-    def __init__(self, dir_logs: str, csv_name: str = "gan_losses.csv"):
+    CSV mirrors the reference's gan_losses.csv (sngan_complete.py:365);
+    TensorBoard events mirror its SummaryWriter scalars
+    (fgan_complete.py:353,396-402) — written via tensorboardX when
+    available, silently skipped otherwise (no hard dependency)."""
+
+    def __init__(self, dir_logs: str, csv_name: str = "gan_losses.csv",
+                 tensorboard: bool = True):
         os.makedirs(dir_logs, exist_ok=True)
         self.csv_path = os.path.join(dir_logs, csv_name)
         self.jsonl_path = os.path.join(dir_logs, "scalars.jsonl")
@@ -32,10 +38,20 @@ class ScalarLogger:
         if self._csv_file.tell() == 0:
             self._csv.writerow(["step", "loss_G", "loss_D", "lr"])
         self._jsonl = open(self.jsonl_path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    logdir=os.path.join(dir_logs, "tb")
+                )
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         # the CSV mirrors the reference's gan_losses.csv (loss rows only);
-        # metric/other scalars go to the JSONL stream
+        # metric/other scalars go to the JSONL stream + TB events
         if "loss_g" in scalars:
             self._csv.writerow(
                 [step, scalars.get("loss_g"), scalars.get("loss_d"),
@@ -44,15 +60,35 @@ class ScalarLogger:
         self._jsonl.write(
             json.dumps({"step": step, "time": time.time(), **scalars}) + "\n"
         )
+        if self._tb is not None:
+            for key, value in scalars.items():
+                try:
+                    self._tb.add_scalar(key, float(value), step)
+                except (TypeError, ValueError):
+                    pass
+
+    def log_image_grid(self, step: int, grid_hwc, tag: str = "observations"):
+        """TB image record (the reference's writer.add_image of sample
+        grids, fgan_complete.py:434-436)."""
+        if self._tb is not None:
+            import numpy as _np
+
+            self._tb.add_image(
+                tag, _np.transpose(grid_hwc, (2, 0, 1)), step
+            )
 
     def flush(self) -> None:
         self._csv_file.flush()
         self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self) -> None:
         self.flush()
         self._csv_file.close()
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def save_loss_plot(csv_path: str, out_path: Optional[str] = None) -> str:

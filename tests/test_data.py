@@ -303,3 +303,21 @@ def test_shapes_dataset_structure():
     assert corr > 0.8
     ds2 = load_dataset("shapes", "", image_size=16, channels=3)
     assert len(ds2) > 0
+
+
+def test_loader_process_sharding_partitions_global_batch():
+    """Multi-host input pipeline: every process draws the same epoch
+    permutation and yields a disjoint slice; concatenated slices equal
+    the single-process global batch."""
+    ds = SyntheticDataset(n=64, size=8, seed=3)
+    global_loader = DataLoader(ds, batch_size=16, seed=5)
+    shards = [
+        DataLoader(ds, batch_size=16, seed=5, process_index=i,
+                   process_count=4)
+        for i in range(4)
+    ]
+    gx, gy = next(iter(global_loader))
+    parts = [next(iter(s)) for s in shards]
+    assert all(p[0].shape[0] == 4 for p in parts)
+    np.testing.assert_allclose(np.concatenate([p[0] for p in parts]), gx)
+    np.testing.assert_array_equal(np.concatenate([p[1] for p in parts]), gy)

@@ -175,3 +175,27 @@ def test_lfu_enabled_works():
     out, _, _ = _init_and_apply(st, x)
     assert out.shape == (2, 16, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ffc_transpose_use_sn():
+    """SN on the transposed conv branches (the reference SNFFCTranspose
+    intent — its checked-in class is broken, SURVEY §1)."""
+    from fastfourierconvolution_tpu.nn.ffc import FFCTranspose
+
+    m = FFCTranspose(8, 8, 4, 0.5, 0.5, stride=2, padding=1, use_sn=True)
+    x = jnp.ones((2, 4, 4, 8))
+    xl, xg = x[..., :4], x[..., 4:]
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0)}, (xl, xg), False
+    )
+    assert "spectral" in variables  # SN u-vectors present
+    (ol, og), updates = m.apply(
+        variables, (xl, xg), True, mutable=["spectral", "batch_stats"]
+    )
+    assert ol.shape == (2, 8, 8, 4) and og.shape == (2, 8, 8, 4)
+    # u advances in train mode
+    import jax.flatten_util as fu
+
+    before, _ = fu.ravel_pytree(variables["spectral"])
+    after, _ = fu.ravel_pytree(updates["spectral"])
+    assert float(jnp.max(jnp.abs(before - after))) > 0
