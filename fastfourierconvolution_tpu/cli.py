@@ -508,6 +508,7 @@ def build_fidelity_parser():
     p.add_argument("--kid-kernel-poly-coef0", type=float, default=1.0)
     p.add_argument("--kid-kernel-rbf-sigma", type=float, default=10.0)
     p.add_argument("--ppl-epsilon", type=float, default=1e-4)
+    p.add_argument("--ppl-sample-similarity", default="lpips-vgg16")
     p.add_argument("--ppl-reduction", default="mean",
                    choices=["mean", "none"])
     p.add_argument("--ppl-sample-similarity-resize", type=int, default=64)
@@ -588,6 +589,7 @@ def run_fidelity(argv) -> None:
         kid_kernel_rbf_sigma=args.kid_kernel_rbf_sigma,
         prc_neighborhood=args.prc_neighborhood,
         ppl_epsilon=args.ppl_epsilon,
+        ppl_sample_similarity=args.ppl_sample_similarity,
         ppl_z_interp_mode=args.ppl_z_interp_mode,
         ppl_reduction=args.ppl_reduction,
         ppl_sample_similarity_resize=args.ppl_sample_similarity_resize,

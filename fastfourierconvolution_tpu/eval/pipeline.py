@@ -294,6 +294,7 @@ def calculate_metrics(
     kid_kernel_rbf_sigma: float = 10.0,
     prc_neighborhood: int = 3,
     ppl_epsilon: float = 1e-4,
+    ppl_sample_similarity: str = "lpips-vgg16",
     ppl_z_interp_mode: str = "lerp",
     ppl_reduction: str = "mean",
     ppl_sample_similarity_resize: Optional[int] = 64,
@@ -352,6 +353,7 @@ def calculate_metrics(
             kid_kernel_rbf_sigma=kid_kernel_rbf_sigma,
             prc_neighborhood=prc_neighborhood,
             ppl_epsilon=ppl_epsilon,
+            ppl_sample_similarity=ppl_sample_similarity,
             ppl_z_interp_mode=ppl_z_interp_mode,
             ppl_reduction=ppl_reduction,
             ppl_sample_similarity_resize=ppl_sample_similarity_resize,
@@ -393,18 +395,23 @@ def calculate_metrics(
         if prc:
             layers.add(layer_of["prc"])
 
-        extractor = get_feature_extractor(
-            fe_name,
-            sorted(layers),
-            weights_path=feature_extractor_weights_path,
-            batch_size=batch_size,
-        )
+        wanted_layers = tuple(sorted(layers))
+
+        def get_extractor():
+            # constructed lazily: a fully stats-cached FID call never
+            # needs the (expensive to build) extractor at all
+            return get_feature_extractor(
+                fe_name,
+                wanted_layers,
+                weights_path=feature_extractor_weights_path,
+                batch_size=batch_size,
+            )
 
         def features_for(spec, num_samples, cache_name):
             if cache and cache_name:
                 paths = {
-                    l: _cache_path(cache_dir, cache_name, extractor.name, l)
-                    for l in extractor.features_list
+                    l: _cache_path(cache_dir, cache_name, fe_name, l)
+                    for l in wanted_layers
                 }
                 if all(os.path.exists(p) for p in paths.values()):
                     return {
@@ -413,26 +420,58 @@ def calculate_metrics(
             sampler, total = _resolve_input(
                 spec, num_samples, rng_seed, batch_size
             )
-            feats = extractor.extract(sampler, total)
+            feats = get_extractor().extract(sampler, total)
             if cache and cache_name:
                 for l, arr in feats.items():
                     _atomic_save(
-                        _cache_path(cache_dir, cache_name, extractor.name, l),
+                        _cache_path(cache_dir, cache_name, fe_name, l),
                         {"features": arr},
                     )
             return feats
 
+        def fid_stats_for(spec, num_samples, cache_name, feats=None):
+            """mu/sigma with statistics-level caching (reference
+            fid_featuresdict_to_statistics_cached + the have_only_fid
+            shortcut, metrics.py:68-72, metric_fid.py:55-87).
+            ``feats``: already-extracted features, if in hand."""
+            layer = layer_of["fid"]
+            path = os.path.join(
+                cache_dir,
+                f"{cache_name}-{fe_name}-stat-fid-{layer}.npz",
+            ) if cache_name else None
+            if cache and path and os.path.exists(path):
+                data = np.load(path)
+                return {"mu": data["mu"], "sigma": data["sigma"]}
+            if feats is None:
+                feats = features_for(spec, num_samples, cache_name)
+            stat = M.fid_features_to_statistics(feats[layer])
+            if cache and path:
+                _atomic_save(path, stat)
+            return stat
+
         name1 = input1_cache_name or (
             input1 if isinstance(input1, str) else None
         )
-        feats1 = features_for(input1, input1_model_num_samples, name1)
-        feats2 = None
-        if have_2:
-            assert input2 is not None, "fid/kid/prc need input2"
-            name2 = input2_cache_name or (
-                input2 if isinstance(input2, str) else None
+        name2 = input2_cache_name or (
+            input2 if isinstance(input2, str) else None
+        )
+
+        have_only_fid = fid and not (isc or kid or prc)
+        if have_only_fid:
+            # statistics-cache shortcut (reference metrics.py:68-72):
+            # features need not be recomputed when stats are cached
+            assert input2 is not None, "fid needs input2"
+            out[M.KEY_FID] = M.fid_statistics_to_metric(
+                fid_stats_for(input1, input1_model_num_samples, name1),
+                fid_stats_for(input2, input2_model_num_samples, name2),
             )
-            feats2 = features_for(input2, input2_model_num_samples, name2)
+            feats1 = feats2 = None
+        else:
+            feats1 = features_for(input1, input1_model_num_samples, name1)
+            feats2 = None
+            if have_2:
+                assert input2 is not None, "fid/kid/prc need input2"
+                feats2 = features_for(input2, input2_model_num_samples, name2)
 
         if isc:
             out.update(
@@ -442,9 +481,16 @@ def calculate_metrics(
                     rng_seed=rng_seed,
                 )
             )
-        if fid:
-            out[M.KEY_FID] = M.fid_features_to_metric(
-                feats1[layer_of["fid"]], feats2[layer_of["fid"]]
+        if fid and not have_only_fid:
+            # features are in hand: still cache the statistics for the
+            # next only-fid call
+            out[M.KEY_FID] = M.fid_statistics_to_metric(
+                fid_stats_for(
+                    input1, input1_model_num_samples, name1, feats=feats1
+                ),
+                fid_stats_for(
+                    input2, input2_model_num_samples, name2, feats=feats2
+                ),
             )
         if kid:
             out.update(
@@ -490,6 +536,7 @@ def calculate_metrics(
                 lpips_weights=lpips_weights_path,
                 vgg_weights=vgg_weights_path,
                 reduction=ppl_reduction,
+                similarity_name=ppl_sample_similarity,
             )
         )
 

@@ -84,11 +84,14 @@ def calculate_ppl(
     lpips_weights: Optional[str] = None,
     vgg_weights: Optional[str] = None,
     reduction: str = "mean",
+    similarity_name: str = "lpips-vgg16",
 ) -> Dict[str, float]:
     """PPL of a generative model (reference metric_ppl.py protocol).
 
     ``model.apply`` must produce uint8 images (the eval output contract);
-    LPIPS consumes their [0, 255] float values.
+    LPIPS consumes their [0, 255] float values. ``similarity_name``
+    resolves from the SAMPLE_SIMILARITIES registry (the reference's
+    ppl_sample_similarity, metric_ppl.py:68-74).
     """
     assert epsilon > 0
     rng = np.random.RandomState(rng_seed)
@@ -101,7 +104,18 @@ def calculate_ppl(
     if model.num_classes > 0:
         labels = rng.randint(0, model.num_classes, (num_samples,))
 
-    lpips_module, lpips_vars = create_lpips(
+    if similarity_name == "lpips-vgg16":
+        factory = create_lpips
+    else:
+        from .registry import SAMPLE_SIMILARITIES
+
+        if similarity_name not in SAMPLE_SIMILARITIES:
+            raise KeyError(
+                f"sample similarity '{similarity_name}' not registered; "
+                f"known: {list(SAMPLE_SIMILARITIES)}"
+            )
+        factory = SAMPLE_SIMILARITIES[similarity_name]
+    lpips_module, lpips_vars = factory(
         resize=similarity_resize,
         lpips_weights=lpips_weights,
         vgg_weights=vgg_weights,

@@ -182,3 +182,39 @@ def test_fidelity_cli_requires_a_metric(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["fidelity", "nonexistent-input"])
+
+
+def test_fid_statistics_cache_shortcut(tmp_path, toy_extractors):
+    """Only-FID calls reuse cached mu/sigma without touching features
+    (reference metrics.py:68-72 have_only_fid shortcut)."""
+    imgs1, imgs2 = _imgs(seed=7), _imgs(seed=8)
+    kw = dict(
+        fid=True, batch_size=8, cache=True, cache_dir=str(tmp_path),
+        input1_cache_name="g1", input2_cache_name="r1",
+        feature_extractor="toy-a",
+    )
+    out1 = P.calculate_metrics(imgs1, imgs2, **kw)
+    stat_files = [f for f in os.listdir(tmp_path) if "stat-fid" in f]
+    assert len(stat_files) == 2
+    # remove the FEATURE caches; stats alone must serve the second call
+    for f in os.listdir(tmp_path):
+        if "features" in f:
+            os.unlink(tmp_path / f)
+    calls = {"n": 0}
+    orig_extract = P.FeatureExtractor.extract
+
+    def counting(self, sampler, total):
+        calls["n"] += 1
+        return orig_extract(self, sampler, total)
+
+    P.FeatureExtractor.extract = counting
+    try:
+        out2 = P.calculate_metrics(imgs1, imgs2, **kw)
+    finally:
+        P.FeatureExtractor.extract = orig_extract
+    assert calls["n"] == 0, "stats cache should bypass feature extraction"
+    np.testing.assert_allclose(
+        out1["frechet_inception_distance"],
+        out2["frechet_inception_distance"],
+        rtol=1e-9,
+    )
