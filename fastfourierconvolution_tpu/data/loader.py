@@ -40,6 +40,7 @@ class DataLoader:
         prefetch: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        raw_uint8: bool = False,
     ):
         """``batch_size`` is the GLOBAL batch. With ``process_count > 1``
         (multi-host pods) every host draws the same seeded epoch
@@ -58,6 +59,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = max(process_count, 1)
+        self.raw_uint8 = raw_uint8
         self.local_batch = batch_size // self.process_count
 
     def __len__(self) -> int:
@@ -71,9 +73,20 @@ class DataLoader:
         return order
 
     def _gather(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        # raw mode: ship uint8 and let the device normalise — 4x less
+        # host->device traffic (the normalisation x/127.5-1 is the same
+        # IEEE f32 op either side)
+        ds = self.dataset
+        if self.raw_uint8 and hasattr(ds, "images") and hasattr(ds, "labels"):
+            return (
+                np.ascontiguousarray(ds.images[idx]),
+                np.asarray(ds.labels)[idx],
+            )
+        if self.raw_uint8:
+            imgs, labels = zip(*(ds[int(i)] for i in idx))
+            return np.stack(imgs), np.asarray(labels, np.int64)
         # Fast path: contiguous uint8 array stores go through the native
         # multithreaded gather+normalise engine (native/ffc_batcher.cpp).
-        ds = self.dataset
         if hasattr(ds, "images") and hasattr(ds, "labels"):
             from . import native
 

@@ -52,6 +52,9 @@ class TrainConfig:
     d_lr: Optional[float] = None  # TTUR when set
     beta1: float = 0.5
     beta2: float = 0.999
+    steps_per_call: int = 1  # lax.scan-chain K steps per jit call (amortises
+    # per-step host dispatch ~4x on the tunnelled chip; must divide
+    # log_every and num_epoch_steps)
     loss: str = "hinge"  # hinge|bce|wgan|wgan-gp
     gp_lambda: float = 10.0  # wgan-gp penalty weight (sagan parameter.py:18)
     aw_method: bool = False  # aw-method D-gradient combination (aw_loss.py)
@@ -81,6 +84,9 @@ class LogConfig:
     samples_grid: int = 64  # fixed z_vis grid size
     loss_csv: bool = True
     tensorboard: bool = True  # TB event records (reference SummaryWriter)
+    compilation_cache: Optional[str] = (
+        "~/.cache/ffc_tpu/jax_cache"  # persistent XLA compile cache; None=off
+    )
     profile_at_step: Optional[int] = None  # jax.profiler trace of 3 steps
     best_metric_checkpoints: bool = False  # keep best-leading-metric ckpt
 
