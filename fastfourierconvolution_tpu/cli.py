@@ -418,10 +418,33 @@ def run_sample(cfg, num_samples: int = 64) -> None:
         labels = jnp.clip(labels, 0, cfg.model.num_classes - 1)
         imgs = trainer.generate(state, z, labels, uint8=True)
     else:
+        labels = None
         imgs = trainer.generate(state, z, uint8=True)
     out = os.path.join(cfg.log.dir_logs, f"samples_{step:06d}.png")
     save_image_grid(np.asarray(imgs), out)
     print(f"saved {out}")
+
+    # per-layer feature-map diagnostic figure (reference test.py:146-208)
+    try:
+        from .utils.visualize import capture_feature_maps, save_feature_map_figure
+
+        maps = capture_feature_maps(
+            g_model,
+            {"params": state.g.params,
+             **({"batch_stats": state.g.batch_stats}
+                if state.g.batch_stats is not None else {}),
+             **({"spectral": state.g.spectral}
+                if state.g.spectral is not None else {})},
+            z[:1],
+            labels[:1] if labels is not None else None,
+        )
+        fm_path = os.path.join(
+            cfg.log.dir_logs, f"feature_maps_{step:06d}.png"
+        )
+        save_feature_map_figure(maps, fm_path)
+        print(f"saved {fm_path}")
+    except Exception as e:  # diagnostics must never block sampling
+        print(f"WARNING: feature-map figure failed: {e}")
 
 
 def _resolve_fidelity_input(spec: str, args):
