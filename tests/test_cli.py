@@ -97,3 +97,39 @@ def test_driver_end_to_end_tiny(tmp_path):
     assert os.path.exists(os.path.join(logs, "000003.png"))
     ckpts = os.listdir(os.path.join(logs, "checkpoints"))
     assert any("steps.ckpt" in c for c in ckpts)
+
+
+@pytest.mark.slow
+def test_driver_steps_per_call_chunked(tmp_path):
+    """The K-chained driver path (uint8 feed + lax.scan chunks)."""
+    from fastfourierconvolution_tpu.cli import main
+
+    logs = str(tmp_path / "logs")
+    main(
+        [
+            "train",
+            "--set", "data.dataset=synthetic",
+            "--set", "data.image_size=16",
+            "--set", "model.generator=ffc",
+            "--set", "model.discriminator=ffc",
+            "--set", "model.ngf=16",
+            "--set", "model.z_size=32",
+            "--set", "model.mg=2",
+            "--set", "train.batch_size=8",
+            "--set", "train.num_total_steps=4",
+            "--set", "train.num_epoch_steps=4",
+            "--set", "train.steps_per_call=2",
+            "--set", "log.log_every=2",
+            "--set", "eval.isc=false",
+            "--set", "eval.fid=false",
+            "--set", "log.checkpoint=false",
+            "-o", logs,
+        ]
+    )
+    import json
+
+    rows = [json.loads(l) for l in open(os.path.join(logs, "scalars.jsonl"))
+            if "loss_g" in l]
+    assert len(rows) == 2  # logged at steps 2 and 4 (post-chunk)
+    assert all(np.isfinite(r["loss_g"]) for r in rows)
+    assert os.path.exists(os.path.join(logs, "000004.png"))
