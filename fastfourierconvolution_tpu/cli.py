@@ -98,7 +98,10 @@ def run_train(cfg) -> None:
 
     # register the eval-side real set (reference register_dataset,
     # util/data_loader.py:65-80: e.g. 'svhn-32') and use it as input2
-    if (cfg.eval.fid or cfg.eval.kid) and cfg.eval.input2_dataset is None:
+    if (
+        (cfg.eval.fid or cfg.eval.kid or cfg.eval.prc)
+        and cfg.eval.input2_dataset is None
+    ):
         from .eval import register_dataset as register_eval_dataset
 
         name = f"{cfg.data.dataset}-{cfg.data.image_size}"
@@ -149,9 +152,13 @@ def run_train(cfg) -> None:
     # throughput on the tunnelled chip by amortising host dispatch
     spc = max(1, int(t.steps_per_call))
     if spc > 1:
-        assert cfg.log.log_every % spc == 0 and t.num_epoch_steps % spc == 0, (
-            "train.steps_per_call must divide log.log_every and "
-            "train.num_epoch_steps"
+        assert (
+            cfg.log.log_every % spc == 0
+            and t.num_epoch_steps % spc == 0
+            and t.num_total_steps % spc == 0
+        ), (
+            "train.steps_per_call must divide log.log_every, "
+            "train.num_epoch_steps and train.num_total_steps"
         )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -230,22 +237,27 @@ def run_train(cfg) -> None:
     lr_of = lambda s: t.lr * max(0.0, 1.0 - s / t.num_total_steps)
     step = ini_step
     profiling = False
+    profile_at = cfg.log.profile_at_step
+
+    def _stop_profiler():
+        jax.profiler.stop_trace()
+        print(
+            f"INFO: profiler trace written to "
+            f"{os.path.join(cfg.log.dir_logs, 'profile')}"
+        )
+
     while step < t.num_total_steps:
         # jax.profiler hook (SURVEY §5.1): trace ~3 steps on request
-        if cfg.log.profile_at_step is not None:
-            if not profiling and step >= cfg.log.profile_at_step:
+        if profile_at is not None:
+            if not profiling and step >= profile_at:
                 jax.profiler.start_trace(
                     os.path.join(cfg.log.dir_logs, "profile")
                 )
                 profiling = True
-            elif profiling and step >= cfg.log.profile_at_step + 3:
-                jax.profiler.stop_trace()
-                cfg.log.profile_at_step = None
+            elif profiling and step >= profile_at + 3:
+                _stop_profiler()
+                profile_at = None
                 profiling = False
-                print(
-                    f"INFO: profiler trace written to "
-                    f"{os.path.join(cfg.log.dir_logs, 'profile')}"
-                )
         if spc > 1:
             chunk = [next(batches) for _ in range(spc)]
             reals = np.stack([b[0] for b in chunk])
@@ -287,7 +299,10 @@ def run_train(cfg) -> None:
         # ---- eval block -------------------------------------------------
         logger.flush()
         eval_t0 = time.perf_counter()
-        if cfg.eval.isc or cfg.eval.fid or cfg.eval.kid or cfg.eval.ppl:
+        if (
+            cfg.eval.isc or cfg.eval.fid or cfg.eval.kid or cfg.eval.prc
+            or cfg.eval.ppl
+        ):
             try:
                 def _gen_uint8(z, labels=None):
                     if labels is None:
@@ -312,6 +327,11 @@ def run_train(cfg) -> None:
                     ppl=cfg.eval.ppl,
                     input1_model_num_samples=cfg.eval.num_samples_for_metrics,
                     batch_size=min(t.batch_size, 128),
+                    feature_extractor_weights_path=(
+                        cfg.eval.feature_extractor_weights_path
+                    ),
+                    lpips_weights_path=cfg.eval.lpips_weights_path,
+                    vgg_weights_path=cfg.eval.vgg_weights_path,
                 )
                 eval_secs = time.perf_counter() - eval_t0
                 print(
@@ -368,6 +388,8 @@ def run_train(cfg) -> None:
             host_state = jax.device_get(state)
             save_checkpoint(host_state, ckpt_dir, next_step)
 
+    if profiling:  # requested window ran into the end of training
+        _stop_profiler()
     pbar.close()
     logger.close()
     if cfg.log.loss_csv and os.path.exists(logger.csv_path):
@@ -469,14 +491,18 @@ def _resolve_fidelity_input(spec: str, args):
         return _generative_model_from_run_dir(spec, args)
     if os.path.isdir(spec):
         return _load_images_dir(
-            spec, args.samples_find_ext, args.samples_find_deep
+            spec, args.samples_find_ext, args.samples_find_deep,
+            resize_and_crop=args.samples_resize_and_crop,
         )
     raise SystemExit(f"fidelity: cannot resolve input '{spec}'")
 
 
-def _load_images_dir(path: str, exts: str, deep: bool):
+def _load_images_dir(path: str, exts: str, deep: bool,
+                     resize_and_crop: int = 0):
     """Directory-of-samples input (reference glob_samples_paths,
-    torch_fidelity/utils.py:36-66)."""
+    torch_fidelity/utils.py:36-66). ``resize_and_crop``: short-side
+    resize + center crop to NxN (the reference's
+    --samples-resize-and-crop)."""
     import numpy as np
     from PIL import Image
 
@@ -492,9 +518,22 @@ def _load_images_dir(path: str, exts: str, deep: bool):
     files.sort()
     if not files:
         raise SystemExit(f"fidelity: no samples with ext {exts} in {path}")
-    imgs = [
-        np.asarray(Image.open(f).convert("RGB"), np.uint8) for f in files
-    ]
+
+    def load(f):
+        img = Image.open(f).convert("RGB")
+        if resize_and_crop:
+            from .data.datasets import _resize_center_crop
+
+            img = _resize_center_crop(img, resize_and_crop)
+        return np.asarray(img, np.uint8)
+
+    imgs = [load(f) for f in files]
+    shapes = {im.shape for im in imgs}
+    if len(shapes) > 1:
+        raise SystemExit(
+            f"fidelity: samples in {path} have mixed shapes {sorted(shapes)}; "
+            f"pass --samples-resize-and-crop N to normalise them"
+        )
     return np.stack(imgs)
 
 
@@ -508,15 +547,11 @@ def _generative_model_from_run_dir(run_dir: str, args):
     from .models import to_uint8
     from .train import GANTrainer
     from .train.checkpoint import restore_latest
-    from .utils.config import make_config, _coerce
+    from .utils.config import apply_overrides, make_config
     from .zoo import build_models
 
     cfg = make_config(args.preset)
-    for kv in args.set or []:
-        dotted, raw = kv.split("=", 1)
-        section, key = dotted.split(".", 1)
-        sub = getattr(cfg, section)
-        setattr(sub, key, _coerce(getattr(sub, key), raw))
+    apply_overrides(cfg, args.set or [])
     g_model, d_model = build_models(cfg)
     trainer = GANTrainer(
         g_model,
@@ -606,6 +641,7 @@ def build_fidelity_parser():
     p.add_argument("--lpips-weights-path", default=None)
     p.add_argument("--vgg-weights-path", default=None)
     p.add_argument("--samples-find-deep", action="store_true")
+    p.add_argument("--samples-resize-and-crop", type=int, default=0)
     p.add_argument("--samples-find-ext", default="png,jpg,jpeg")
     p.add_argument("--input1-model-num-samples", type=int, default=10000)
     p.add_argument("--input2-model-num-samples", type=int, default=10000)

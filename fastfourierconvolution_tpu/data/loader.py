@@ -105,8 +105,12 @@ class DataLoader:
         for i in range(0, ends, self.batch_size):
             yield self._gather(order[i + lo : i + hi])
         if not self.drop_last and ends < len(order):
-            tail = order[ends:]
-            yield self._gather(tail[lo:hi] if self.process_count > 1 else tail)
+            if self.process_count > 1:
+                # a partial global batch cannot be split evenly across
+                # hosts (some would get empty/short slices and desync
+                # the pod) — drop it, like drop_last
+                return
+            yield self._gather(order[ends:])
 
     def epochs(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Infinite batch stream with background prefetch.

@@ -263,8 +263,12 @@ def create_vgg16(
     rng: Optional[jax.Array] = None,
 ):
     """Build (module, variables) for the VGG16 extractor; converts a
-    torchvision state dict when provided, random init otherwise."""
+    torchvision state dict when provided (or found via
+    $FFC_TPU_VGG16_WEIGHTS), random init otherwise."""
+    import os
+
     module = VGG16(features_list=tuple(features_list))
+    weights_path = weights_path or os.environ.get("FFC_TPU_VGG16_WEIGHTS") or None
     if weights_path is not None:
         variables = load_vgg16_torch_weights(weights_path)
     else:
@@ -296,7 +300,14 @@ def create_lpips(
     vgg_weights: Optional[str] = None,
     rng: Optional[jax.Array] = None,
 ):
+    """Weights default from $FFC_TPU_LPIPS_WEIGHTS / $FFC_TPU_VGG16_WEIGHTS
+    when not passed (mirrors the inception extractor's local-weights
+    discovery)."""
+    import os
+
     module = LPIPS(resize=resize)
+    lpips_weights = lpips_weights or os.environ.get("FFC_TPU_LPIPS_WEIGHTS") or None
+    vgg_weights = vgg_weights or os.environ.get("FFC_TPU_VGG16_WEIGHTS") or None
     if lpips_weights:
         variables = load_lpips_torch_weights(lpips_weights, vgg_weights)
         # fill any missing backbone params from init

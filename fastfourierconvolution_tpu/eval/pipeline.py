@@ -242,7 +242,12 @@ def _default_layer(extractor_name: str, metric: str) -> str:
     spec = registry.FEATURE_EXTRACTORS.get(extractor_name)
     if isinstance(spec, dict) and "default_layers" in spec:
         return spec["default_layers"][metric]
-    return DEFAULT_FEATURE_LAYER[metric]
+    if extractor_name == "inception-v3-compat":
+        return DEFAULT_FEATURE_LAYER[metric]
+    raise KeyError(
+        f"extractor '{extractor_name}' declares no default_layers; pass "
+        f"feature_layer_{metric}=... or register it with default_layers"
+    )
 
 
 def _resolve_extractor_name(feature_extractor, isc, fid, kid, prc) -> str:

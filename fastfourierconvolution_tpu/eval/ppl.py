@@ -104,18 +104,14 @@ def calculate_ppl(
     if model.num_classes > 0:
         labels = rng.randint(0, model.num_classes, (num_samples,))
 
-    if similarity_name == "lpips-vgg16":
-        factory = create_lpips
-    else:
-        from .registry import SAMPLE_SIMILARITIES
+    from .registry import SAMPLE_SIMILARITIES
 
-        if similarity_name not in SAMPLE_SIMILARITIES:
-            raise KeyError(
-                f"sample similarity '{similarity_name}' not registered; "
-                f"known: {list(SAMPLE_SIMILARITIES)}"
-            )
-        factory = SAMPLE_SIMILARITIES[similarity_name]
-    lpips_module, lpips_vars = factory(
+    if similarity_name not in SAMPLE_SIMILARITIES:
+        raise KeyError(
+            f"sample similarity '{similarity_name}' not registered; "
+            f"known: {list(SAMPLE_SIMILARITIES)}"
+        )
+    lpips_module, lpips_vars = SAMPLE_SIMILARITIES[similarity_name](
         resize=similarity_resize,
         lpips_weights=lpips_weights,
         vgg_weights=vgg_weights,

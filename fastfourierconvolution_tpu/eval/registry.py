@@ -8,7 +8,7 @@ latent interpolations.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 from .pipeline import register_dataset, registered_datasets  # noqa: F401
 from .ppl import INTERPOLATIONS, sample_random
@@ -22,9 +22,22 @@ NOISE_SOURCES: Dict[str, Callable] = {
 }
 
 
-def register_feature_extractor(name: str, factory: Callable) -> None:
+def register_feature_extractor(
+    name: str,
+    factory: Callable,
+    default_layers: Optional[Dict[str, str]] = None,
+    provided: Optional[tuple] = None,
+) -> None:
+    """Register an extractor factory ``(features_list, weights_path) ->
+    (module, variables)``. ``default_layers`` maps metric name ->
+    feature layer (required for the extractor to serve metric defaults;
+    without it callers must pass explicit feature_layer_* overrides)."""
     assert name not in FEATURE_EXTRACTORS, f"extractor '{name}' exists"
-    FEATURE_EXTRACTORS[name] = factory
+    FEATURE_EXTRACTORS[name] = {
+        "factory": factory,
+        "provided": provided or (),
+        **({"default_layers": dict(default_layers)} if default_layers else {}),
+    }
 
 
 def register_sample_similarity(name: str, factory: Callable) -> None:

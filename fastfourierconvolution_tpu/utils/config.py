@@ -72,6 +72,9 @@ class EvalConfig:
     ppl: bool = False
     num_samples_for_metrics: int = 10_000
     input2_dataset: Optional[str] = None  # registered real-set name
+    feature_extractor_weights_path: Optional[str] = None  # also $FFC_TPU_INCEPTION_WEIGHTS
+    lpips_weights_path: Optional[str] = None  # also $FFC_TPU_LPIPS_WEIGHTS
+    vgg_weights_path: Optional[str] = None  # also $FFC_TPU_VGG16_WEIGHTS
     leading_metric: str = "ISC"  # ISC|FID|KID|PPL
 
 
@@ -224,6 +227,16 @@ def _coerce(current, raw: str):
     return type(current)(raw)
 
 
+def apply_overrides(cfg: Config, sets: Sequence[str]) -> Config:
+    """Apply ``section.key=value`` dotted overrides with type coercion."""
+    for kv in sets:
+        dotted, raw = kv.split("=", 1)
+        section, key = dotted.split(".", 1)
+        sub = getattr(cfg, section)
+        setattr(sub, key, _coerce(getattr(sub, key), raw))
+    return cfg
+
+
 def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[str, Config]:
     """``<command> [--preset NAME] [--set section.key=value ...]`` plus
     common shortcuts (-b, -e, -l, -o, --dataset, --data_path, --checkpoint
@@ -257,9 +270,5 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[str, Config]:
         cfg.data.data_dir = args.data_path
     if args.checkpoint:
         cfg.log.checkpoint = True
-    for kv in args.set:
-        dotted, raw = kv.split("=", 1)
-        section, key = dotted.split(".", 1)
-        sub = getattr(cfg, section)
-        setattr(sub, key, _coerce(getattr(sub, key), raw))
+    apply_overrides(cfg, args.set)
     return args.command, cfg

@@ -321,3 +321,16 @@ def test_loader_process_sharding_partitions_global_batch():
     assert all(p[0].shape[0] == 4 for p in parts)
     np.testing.assert_allclose(np.concatenate([p[0] for p in parts]), gx)
     np.testing.assert_array_equal(np.concatenate([p[1] for p in parts]), gy)
+
+
+def test_loader_multihost_drops_partial_tail():
+    """A partial global batch can't split evenly across hosts — it must
+    be dropped on every host (not yield empty/short slices)."""
+    ds = SyntheticDataset(n=10, size=8, seed=0)
+    shards = [
+        DataLoader(ds, batch_size=4, seed=1, drop_last=False,
+                   process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    counts = [[b[0].shape[0] for b in s] for s in shards]
+    assert counts[0] == counts[1] == [2, 2]  # 2 full global batches only
