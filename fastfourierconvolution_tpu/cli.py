@@ -493,12 +493,14 @@ def _resolve_fidelity_input(spec: str, args):
         return _load_images_dir(
             spec, args.samples_find_ext, args.samples_find_deep,
             resize_and_crop=args.samples_resize_and_crop,
+            shuffle_seed=(None if args.no_samples_shuffle else args.rng_seed),
         )
     raise SystemExit(f"fidelity: cannot resolve input '{spec}'")
 
 
 def _load_images_dir(path: str, exts: str, deep: bool,
-                     resize_and_crop: int = 0):
+                     resize_and_crop: int = 0,
+                     shuffle_seed=None):
     """Directory-of-samples input (reference glob_samples_paths,
     torch_fidelity/utils.py:36-66). ``resize_and_crop``: short-side
     resize + center crop to NxN (the reference's
@@ -518,6 +520,12 @@ def _load_images_dir(path: str, exts: str, deep: bool,
     files.sort()
     if not files:
         raise SystemExit(f"fidelity: no samples with ext {exts} in {path}")
+    if shuffle_seed is not None:
+        # the reference shuffles sample paths before truncation
+        # (defaults.py samples_shuffle=True, seeded)
+        import numpy as _np
+
+        _np.random.RandomState(shuffle_seed).shuffle(files)
 
     def load(f):
         img = Image.open(f).convert("RGB")
@@ -642,6 +650,8 @@ def build_fidelity_parser():
     p.add_argument("--vgg-weights-path", default=None)
     p.add_argument("--samples-find-deep", action="store_true")
     p.add_argument("--samples-resize-and-crop", type=int, default=0)
+    p.add_argument("--no-samples-shuffle", action="store_true",
+                   help="keep sorted order (reference samples_shuffle=True)")
     p.add_argument("--samples-find-ext", default="png,jpg,jpeg")
     p.add_argument("--input1-model-num-samples", type=int, default=10000)
     p.add_argument("--input2-model-num-samples", type=int, default=10000)
