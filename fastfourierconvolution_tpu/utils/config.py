@@ -252,6 +252,11 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[str, Config]:
     p.add_argument("--dataset")
     p.add_argument("--data_path")
     p.add_argument("--checkpoint", action="store_true")
+    p.add_argument("--num_samples", type=int, default=64,
+                   help="sample command: how many images")
+    p.add_argument("--per_sample", action="store_true",
+                   help="sample command: save individual PNGs "
+                        "(reference test_cond.py:142-146)")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
@@ -271,4 +276,6 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[str, Config]:
     if args.checkpoint:
         cfg.log.checkpoint = True
     apply_overrides(cfg, args.set)
-    return args.command, cfg
+    extras = {"num_samples": args.num_samples,
+              "per_sample": args.per_sample}
+    return args.command, cfg, extras

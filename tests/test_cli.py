@@ -32,10 +32,11 @@ def test_zoo_builds_models(preset):
 
 
 def test_parse_cli_overrides():
-    cmd, cfg = parse_cli(
+    cmd, cfg, extras = parse_cli(
         ["train", "--preset", "fgan32", "-b", "32", "-e", "1000",
          "--set", "model.ratio_g=0.5", "--set", "eval.fid=false"]
     )
+    assert extras["num_samples"] == 64
     assert cmd == "train"
     assert cfg.train.batch_size == 32
     assert cfg.train.num_total_steps == 1000
