@@ -237,7 +237,9 @@ def apply_overrides(cfg: Config, sets: Sequence[str]) -> Config:
     return cfg
 
 
-def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[str, Config]:
+def parse_cli(
+    argv: Optional[Sequence[str]] = None,
+) -> Tuple[str, Config, Dict]:
     """``<command> [--preset NAME] [--set section.key=value ...]`` plus
     common shortcuts (-b, -e, -l, -o, --dataset, --data_path, --checkpoint
     mirroring the reference flags, config/arg_parser.py:110-178)."""
