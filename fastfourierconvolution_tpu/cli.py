@@ -74,6 +74,7 @@ def run_train(cfg) -> None:
         fused_dis_batch=fused,
         gp_lambda=t.gp_lambda,
         aw_method=t.aw_method,
+        update_order=t.update_order,
     )
 
     dataset = load_dataset(

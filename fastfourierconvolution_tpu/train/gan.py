@@ -134,6 +134,7 @@ class GANTrainer:
         fused_dis_batch: bool = False,
         gp_lambda: float = 10.0,
         aw_method: bool = False,
+        update_order: str = "g_first",
         aw_alpha1: float = 0.5,
         aw_alpha2: float = 0.75,
         aw_delta: float = 0.05,
@@ -146,6 +147,8 @@ class GANTrainer:
         self.conditional = conditional
         self.num_classes = num_classes
         self.loss_name = loss
+        assert update_order in ("g_first", "d_first"), update_order
+        self.update_order = update_order
         self.use_gp = loss == "wgan-gp"
         self.gp_lambda = gp_lambda
         self.aw_method = aw_method
@@ -258,16 +261,41 @@ class GANTrainer:
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
         """One generator update + num_dis_updates discriminator updates.
 
+        ``update_order='g_first'`` (default) is the *_complete.py loop
+        (G update, then D updates, reference fgan_complete.py:367-393);
+        ``'d_first'`` is the train_cond.py / SAGAN comparator ordering
+        (D updates on the current G, then the G update, reference
+        train_cond.py:169-220, sagan/trainer.py:107-163).
+
         Jit this (optionally with shardings); it is pure.
         """
         rng = state.rng
-        b = real.shape[0]
+        if self.update_order == "d_first":
+            g_state, d_state, loss_d, rng = self._d_phase(
+                state.g, state.d, rng, real, labels
+            )
+            g_state, d_state, loss_g, rng = self._g_phase(
+                g_state, d_state, rng, real.shape[0], labels
+            )
+        else:
+            g_state, d_state, loss_g, rng = self._g_phase(
+                state.g, state.d, rng, real.shape[0], labels
+            )
+            g_state, d_state, loss_d, rng = self._d_phase(
+                g_state, d_state, rng, real, labels
+            )
+        new_state = GANState(
+            step=state.step + 1, g=g_state, d=d_state, rng=rng
+        )
+        return new_state, {"loss_g": loss_g, "loss_d": loss_d}
 
-        # ---- generator update -------------------------------------------------
+    def _g_phase(self, g_in: NetState, d_in: NetState, rng, b, labels):
+        """One generator update (also advances D's aux collections from
+        its forward on the fakes, like torch's in-place buffers)."""
         rng, z_rng, noise_rng, d_noise_rng = jax.random.split(rng, 4)
         z = jax.random.normal(z_rng, (b, self.z_size))
-        g_aux_in = self._g_vars(state.g)
-        d_vars = self._g_vars(state.d)
+        g_aux_in = self._g_vars(g_in)
+        d_vars = self._g_vars(d_in)
 
         def g_loss_fn(g_params):
             g_vars = dict(g_aux_in)
@@ -280,26 +308,31 @@ class GANTrainer:
 
         (loss_g, (g_updates, d_updates)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.g.params)
+        )(g_in.params)
 
         g_upd, g_opt_state = self.g_tx.update(
-            g_grads, state.g.opt_state, state.g.params
+            g_grads, g_in.opt_state, g_in.params
         )
-        g_params = optax.apply_updates(state.g.params, g_upd)
+        g_params = optax.apply_updates(g_in.params, g_upd)
         g_state = NetState(
             params=g_params,
-            batch_stats=g_updates.get("batch_stats", state.g.batch_stats),
-            spectral=g_updates.get("spectral", state.g.spectral),
+            batch_stats=g_updates.get("batch_stats", g_in.batch_stats),
+            spectral=g_updates.get("spectral", g_in.spectral),
             opt_state=g_opt_state,
         )
         d_state = NetState(
-            params=state.d.params,
-            batch_stats=d_updates.get("batch_stats", state.d.batch_stats),
-            spectral=d_updates.get("spectral", state.d.spectral),
-            opt_state=state.d.opt_state,
+            params=d_in.params,
+            batch_stats=d_updates.get("batch_stats", d_in.batch_stats),
+            spectral=d_updates.get("spectral", d_in.spectral),
+            opt_state=d_in.opt_state,
         )
+        return g_state, d_state, loss_g, rng
 
-        # ---- discriminator updates -------------------------------------------
+    def _d_phase(self, g_state: NetState, d_state: NetState, rng, real,
+                 labels):
+        """num_dis_updates discriminator updates on fakes from the
+        current generator (G's aux collections advance per forward)."""
+        b = real.shape[0]
         loss_d = jnp.zeros(())
         for _ in range(self.num_dis_updates):
             rng, z_rng, noise_rng, dn1, dn2, gp_rng = jax.random.split(rng, 6)
@@ -395,12 +428,7 @@ class GANTrainer:
                 spectral=d_updates.get("spectral", d_state.spectral),
                 opt_state=d_opt_state,
             )
-
-        new_state = GANState(
-            step=state.step + 1, g=g_state, d=d_state, rng=rng
-        )
-        metrics = {"loss_g": loss_g, "loss_d": loss_d}
-        return new_state, metrics
+        return g_state, d_state, loss_d, rng
 
     def update_steps(
         self,

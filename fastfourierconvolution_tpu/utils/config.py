@@ -58,6 +58,7 @@ class TrainConfig:
     loss: str = "hinge"  # hinge|bce|wgan|wgan-gp
     gp_lambda: float = 10.0  # wgan-gp penalty weight (sagan parameter.py:18)
     aw_method: bool = False  # aw-method D-gradient combination (aw_loss.py)
+    update_order: str = "g_first"  # g_first (fgan_complete) | d_first (train_cond/sagan)
     optimizer: str = "adamw"  # adamw|adam
     seed: int = 0
     precision: str = "f32"  # f32|bf16 (activation compute dtype)
@@ -180,7 +181,8 @@ PRESETS: Dict[str, Dict] = {
         data=dict(dataset="mnist", image_size=64, channels=1),
         model=dict(generator="cond_dcgan", discriminator="cond_dcgan",
                    conditional=True, num_classes=10, z_size=100),
-        train=dict(loss="bce", optimizer="adam", batch_size=128),
+        train=dict(loss="bce", optimizer="adam", batch_size=128,
+                   update_order="d_first"),
         eval=dict(isc=False, fid=False),
     ),
     # benchmark_models/sagan: TTUR hinge comparator on CIFAR-10
@@ -188,7 +190,8 @@ PRESETS: Dict[str, Dict] = {
         data=dict(dataset="cifar10", image_size=32),
         model=dict(generator="sagan", discriminator="sagan", z_size=128),
         train=dict(lr=1e-4, d_lr=4e-4, beta1=0.0, beta2=0.9,
-                   num_dis_updates=5, optimizer="adam", loss="wgan-gp"),
+                   num_dis_updates=5, optimizer="adam", loss="wgan-gp",
+                   update_order="d_first"),
         eval=dict(isc=True, fid=True, kid=True),
     ),
 }

@@ -115,3 +115,33 @@ def test_aw_rejects_fused_batch():
             g, d, z_size=16, total_steps=10,
             aw_method=True, fused_dis_batch=True,
         )
+
+
+def test_d_first_update_order():
+    """train_cond/SAGAN ordering: D updates on the CURRENT generator,
+    then the G update (reference train_cond.py:169-220) — after one
+    d_first step, D's update must not have seen the new G params."""
+    g, d = _tiny_pair()
+    real = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 3))
+
+    tr_d = GANTrainer(g, d, z_size=16, total_steps=10,
+                      update_order="d_first")
+    tr_g = GANTrainer(g, d, z_size=16, total_steps=10,
+                      update_order="g_first")
+    state = tr_d.init(jax.random.PRNGKey(1), real)
+    sd, md = jax.jit(tr_d.update_step)(state, real)
+    sg, mg = jax.jit(tr_g.update_step)(state, real)
+    # both orders make finite progress on both nets
+    for s, m in ((sd, md), (sg, mg)):
+        assert np.isfinite(float(m["loss_g"]))
+        assert np.isfinite(float(m["loss_d"]))
+        assert _params_delta(state.g.params, s.g.params) > 0
+        assert _params_delta(state.d.params, s.d.params) > 0
+    # the orderings produce different trajectories from identical state
+    assert _params_delta(sd.d.params, sg.d.params) > 0
+
+
+def test_update_order_validated():
+    g, d = _tiny_pair()
+    with pytest.raises(AssertionError):
+        GANTrainer(g, d, z_size=16, total_steps=10, update_order="bogus")
