@@ -401,10 +401,15 @@ def run_train(cfg) -> None:
     print("Training finished.")
 
 
-def run_sample(cfg, num_samples: int = 64, per_sample: bool = False) -> None:
+def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
+               torch_checkpoint: Optional[str] = None) -> None:
     """Checkpoint -> PNG samples (reference test.py / test_cond.py:
     class-stratified when conditional, uint8 convention; ``per_sample``
-    saves individual PNGs like test_cond.py:142-146)."""
+    saves individual PNGs like test_cond.py:142-146).
+
+    ``torch_checkpoint``: a REFERENCE-repo .pth (FGenerator state dict
+    or the FFCModel container) migrated via compat.convert_fgan_generator
+    — sample directly from checkpoints trained with the PyTorch repo."""
     if num_samples < 1:
         raise SystemExit("sample: --num_samples must be >= 1")
     import jax
@@ -431,9 +436,27 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False) -> None:
         (8, cfg.data.image_size, cfg.data.image_size, cfg.data.channels)
     )
     state = trainer.init(jax.random.PRNGKey(0), sample)
-    ckpt_dir = os.path.join(cfg.log.dir_logs, "checkpoints")
-    state, step = restore_latest(state, ckpt_dir)
-    print(f"INFO: sampling from step {step}")
+    if torch_checkpoint is not None:
+        if cfg.model.generator != "ffc":
+            raise SystemExit(
+                "sample: --torch_checkpoint supports the flagship 'ffc' "
+                "generator (reference FGenerator checkpoints)"
+            )
+        from .compat import convert_fgan_generator
+
+        variables = convert_fgan_generator(torch_checkpoint, mg=cfg.model.mg)
+        state = state.replace(
+            g=state.g.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+            )
+        )
+        step = 0
+        print(f"INFO: sampling from reference checkpoint {torch_checkpoint}")
+    else:
+        ckpt_dir = os.path.join(cfg.log.dir_logs, "checkpoints")
+        state, step = restore_latest(state, ckpt_dir)
+        print(f"INFO: sampling from step {step}")
 
     z = jax.random.normal(jax.random.PRNGKey(7), (num_samples, cfg.model.z_size))
     if cfg.model.conditional:
@@ -776,6 +799,7 @@ def main(argv: Optional[list] = None) -> None:
             cfg,
             num_samples=extras["num_samples"],
             per_sample=extras["per_sample"],
+            torch_checkpoint=extras["torch_checkpoint"],
         )
 
 

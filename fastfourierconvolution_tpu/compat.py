@@ -1,0 +1,247 @@
+"""Reference-checkpoint migration: torch state dicts -> this framework.
+
+Converts checkpoints trained with the reference repo
+(phbgomes22/FastFourierConvolution) into this framework's variables, so
+existing models carry over:
+
+  * :func:`convert_fgan_generator` — the flagship ``FGenerator``
+    (reference fgan_complete.py:81-140: Linear stem, FFC_BN_ACT
+    upsampling ladder with per-block noise injection, FFC to-RGB tail)
+    -> :class:`models.FFCGenerator` variables;
+  * :func:`convert_sn_discriminator` — the 7-conv spectral-norm
+    ``Discriminator`` (fgan_complete.py:142-171)
+    -> :class:`models.SNConvDiscriminator` variables;
+  * :func:`load_reference_checkpoint` — unwraps the reference's
+    ``{model_state_dict, optimizer_state_dict, ...}`` .pth container
+    (reference models/ffcmodel.py:66-107).
+
+Layout translations handled here (golden-tested against the reference
+implementation in tests/test_checkpoint_migration.py):
+
+  * conv OIHW -> HWIO; conv-transpose IOHW -> HWIO;
+  * Linear (out, in) -> (in, out), with the stem's NCHW->NHWC reshape
+    permutation folded into the kernel;
+  * the FourierUnit's interleaved re/im channel order
+    (torch ``stack(..., dim=-1).view``) -> this framework's
+    concatenated [re; im] order (kernel rows/cols and BN vectors
+    permuted);
+  * BatchNorm weight/bias -> scale/bias params + running stats into the
+    ``batch_stats`` collection;
+  * spectral-norm ``weight_orig``/``weight_u`` -> kernel + ``spectral``
+    u vector.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().float()
+    return np.asarray(t.numpy() if hasattr(t, "numpy") else t, np.float32)
+
+
+def load_reference_checkpoint(path_or_dict) -> Dict[str, np.ndarray]:
+    """Load a reference .pth; unwrap the FFCModel checkpoint container
+    when present (reference models/ffcmodel.py:66-107)."""
+    sd = path_or_dict
+    if isinstance(sd, (str, bytes)):
+        import torch
+
+        sd = torch.load(sd, map_location="cpu", weights_only=True)
+    if "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    return sd
+
+
+def _conv(sd, key):
+    """torch Conv2d OIHW -> HWIO."""
+    return jnp.asarray(np.transpose(_np(sd[key]), (2, 3, 1, 0)))
+
+
+def _convt(sd, key):
+    """torch ConvTranspose2d IOHW -> HWIO."""
+    return jnp.asarray(np.transpose(_np(sd[key]), (2, 3, 0, 1)))
+
+
+def _bn(sd, prefix, params_out: Dict, stats_out: Dict, perm=None):
+    take = lambda name: (
+        _np(sd[f"{prefix}.{name}"])[perm]
+        if perm is not None
+        else _np(sd[f"{prefix}.{name}"])
+    )
+    params_out["scale"] = jnp.asarray(take("weight"))
+    params_out["bias"] = jnp.asarray(take("bias"))
+    stats_out["mean"] = jnp.asarray(take("running_mean"))
+    stats_out["var"] = jnp.asarray(take("running_var"))
+
+
+def _interleave_perm(c: int) -> np.ndarray:
+    """ours-concat index k (= c + p*C) -> torch-interleaved index 2c+p
+    (reference fourier_unity.py:40-42 stacks re/im channel-interleaved;
+    this framework concatenates [re; im])."""
+    k = np.arange(2 * c)
+    return 2 * (k % c) + (k // c)
+
+
+def _spectral_transform(sd, prefix: str, params: Dict, stats: Dict) -> None:
+    """reference SpectralTransform (conv1+bn1 -> FourierUnit -> conv2,
+    SELayer; spectral_transform.py:34-110) -> this framework's
+    convg2g param/stat subtrees. LFU weights are skipped: its use is
+    commented out in the reference forward (:94-105)."""
+    params["Conv2d_0"] = {"kernel": _conv(sd, f"{prefix}.conv1.weight")}
+    params["Conv2d_1"] = {"kernel": _conv(sd, f"{prefix}.conv2.weight")}
+    bn_p, bn_s = {}, {}
+    _bn(sd, f"{prefix}.bn1", bn_p, bn_s)
+    params["BatchNorm_0"] = {"BatchNorm_0": bn_p}
+    stats["BatchNorm_0"] = {"BatchNorm_0": bn_s}
+
+    # FourierUnit: interleaved -> concatenated channel order
+    w = _np(sd[f"{prefix}.fu.conv_layer.weight"])[:, :, 0, 0]  # (2C, 2C)
+    c = w.shape[0] // 2
+    perm = _interleave_perm(c)
+    params["FourierUnit_0"] = {
+        "mix_kernel": jnp.asarray(w[np.ix_(perm, perm)].T),
+    }
+    fu_s: Dict = {}
+    fu_bn_p: Dict = {}
+    _bn(sd, f"{prefix}.fu.bn", fu_bn_p, fu_s, perm=perm)
+    params["FourierUnit_0"]["bn_scale"] = fu_bn_p["scale"]
+    params["FourierUnit_0"]["bn_bias"] = fu_bn_p["bias"]
+    stats["FourierUnit_0"] = fu_s
+
+    params["SELayer_0"] = {
+        "Dense_0": {"kernel": jnp.asarray(_np(sd[f"{prefix}.se_block.fc.0.weight"]).T)},
+        "Dense_1": {"kernel": jnp.asarray(_np(sd[f"{prefix}.se_block.fc.2.weight"]).T)},
+    }
+
+
+def _ffc_bn_act(sd, prefix: str, params: Dict, stats: Dict,
+                transpose: bool, has_bn: bool) -> None:
+    conv = _convt if transpose else _conv
+    ffc_p: Dict = {}
+    ffc_s: Dict = {}
+    for branch in ("convl2l", "convl2g", "convg2l"):
+        key = f"{prefix}.ffc.{branch}.weight"
+        if key in sd:
+            ffc_p[branch] = {"kernel": conv(sd, key)}
+    if f"{prefix}.ffc.convg2g.conv1.weight" in sd:
+        g2g_p: Dict = {}
+        g2g_s: Dict = {}
+        _spectral_transform(sd, f"{prefix}.ffc.convg2g", g2g_p, g2g_s)
+        ffc_p["convg2g"] = g2g_p
+        ffc_s["convg2g"] = g2g_s
+    params["ffc"] = ffc_p
+    if ffc_s:
+        stats["ffc"] = ffc_s
+    if has_bn:
+        for side in ("bn_l", "bn_g"):
+            if f"{prefix}.{side}.weight" in sd:
+                p, s = {}, {}
+                _bn(sd, f"{prefix}.{side}", p, s)
+                params[side] = {"BatchNorm_0": p}
+                stats[side] = {"BatchNorm_0": s}
+
+
+def convert_fgan_generator(
+    path_or_dict, mg: int = 4, num_blocks: int = 3
+) -> Dict:
+    """Reference ``FGenerator`` state dict -> ``FFCGenerator`` variables
+    ({params, batch_stats}).
+
+    Block naming: reference conv2..conv{2+num_blocks-1} -> block0.. ;
+    reference conv5 (the ratio->0 tail) -> to_rgb; lcl/glb_noise{i+2} ->
+    lcl/glb_noise{i} (reference fgan_complete.py:92-114).
+    """
+    sd = load_reference_checkpoint(path_or_dict)
+    params: Dict = {}
+    stats: Dict = {}
+
+    # stem: Linear (out, in) -> (in, out) with the reshape permutation:
+    # torch reshapes the 8192-vector to NCHW (C, mg, mg); ours to NHWC
+    # (mg, mg, C) — fold the (c,h,w)->(h,w,c) reorder into the kernel
+    w = _np(sd["noise_to_feature.0.weight"])  # (out, in)
+    b = _np(sd["noise_to_feature.0.bias"])
+    out_dim = w.shape[0]
+    ch = out_dim // (mg * mg)
+    j = np.arange(out_dim)
+    h, wpos, c = j // (mg * ch), (j // ch) % mg, j % ch
+    torch_idx = c * mg * mg + h * mg + wpos
+    params["noise_to_feature"] = {
+        "kernel": jnp.asarray(w[torch_idx, :].T),
+        "bias": jnp.asarray(b[torch_idx]),
+    }
+
+    for i in range(num_blocks):
+        p: Dict = {}
+        s: Dict = {}
+        _ffc_bn_act(sd, f"conv{i + 2}", p, s, transpose=True, has_bn=True)
+        params[f"block{i}"] = p
+        if s:
+            stats[f"block{i}"] = s
+        for side, ours in (("lcl", "lcl"), ("glb", "glb")):
+            key = f"{side}_noise{i + 2}.weight"
+            if key in sd:
+                params[f"{ours}_noise{i}"] = {
+                    "weight": jnp.asarray(
+                        _np(sd[key]).reshape(1, 1, 1, -1)
+                    )
+                }
+
+    p, s = {}, {}
+    _ffc_bn_act(
+        sd, f"conv{2 + num_blocks}", p, s, transpose=False, has_bn=False
+    )
+    params["to_rgb"] = p
+    if s:
+        stats["to_rgb"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_sn_discriminator(path_or_dict, mg: int = 4) -> Dict:
+    """Reference 7-conv SN ``Discriminator`` (fgan_complete.py:142-171)
+    -> ``SNConvDiscriminator`` variables ({params, spectral}).
+
+    torch spectral_norm stores ``weight_orig`` (the unnormalised kernel)
+    and the power-iteration vector ``weight_u`` over the (out, in*k*k)
+    matricisation — identical to this framework's u convention
+    (ops/spectral_norm.py), so both carry over directly.
+    """
+    sd = load_reference_checkpoint(path_or_dict)
+    params: Dict = {}
+    spectral: Dict = {}
+    # reference convs are an nn.Sequential: conv1..conv7 at indices with
+    # names 'convN.weight_orig' etc.; the fc head is 'fc.weight'
+    i = 0
+    while f"conv{i + 1}.weight_orig" in sd or f"conv{i + 1}.weight" in sd:
+        name = f"conv{i}"
+        tkey = f"conv{i + 1}"
+        if f"{tkey}.weight_orig" in sd:
+            kernel = _np(sd[f"{tkey}.weight_orig"])
+            u = _np(sd[f"{tkey}.weight_u"])
+            spectral[name] = {"u": jnp.asarray(u)}
+        else:
+            kernel = _np(sd[f"{tkey}.weight"])
+        entry = {"kernel": jnp.asarray(np.transpose(kernel, (2, 3, 1, 0)))}
+        if f"{tkey}.bias" in sd:
+            entry["bias"] = jnp.asarray(_np(sd[f"{tkey}.bias"]))
+        params[name] = entry
+        i += 1
+    fc_key = "fc.weight_orig" if "fc.weight_orig" in sd else "fc.weight"
+    if fc_key in sd:
+        w = _np(sd[fc_key])  # (1, mg*mg*C), flattened NCHW (c-major)
+        ch = w.shape[1] // (mg * mg)
+        j = np.arange(w.shape[1])  # ours-NHWC flat index
+        h, wpos, c = j // (mg * ch), (j // ch) % mg, j % ch
+        torch_idx = c * mg * mg + h * mg + wpos
+        params["fc"] = {
+            "kernel": jnp.asarray(w[:, torch_idx].T),
+            "bias": jnp.asarray(_np(sd["fc.bias"])),
+        }
+        if "fc.weight_u" in sd:
+            spectral["fc"] = {"u": jnp.asarray(_np(sd["fc.weight_u"]))}
+    return {"params": params, "spectral": spectral}

@@ -262,6 +262,9 @@ def parse_cli(
     p.add_argument("--per_sample", action="store_true",
                    help="sample command: save individual PNGs "
                         "(reference test_cond.py:142-146)")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="sample command: load a REFERENCE-repo torch "
+                        ".pth (FGenerator) via the compat converter")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
@@ -282,5 +285,6 @@ def parse_cli(
         cfg.log.checkpoint = True
     apply_overrides(cfg, args.set)
     extras = {"num_samples": args.num_samples,
-              "per_sample": args.per_sample}
+              "per_sample": args.per_sample,
+              "torch_checkpoint": args.torch_checkpoint}
     return args.command, cfg, extras

@@ -1,0 +1,100 @@
+"""Reference-checkpoint migration golden tests: torch FGenerator /
+SN Discriminator state dicts -> this framework's variables, with
+forward parity against the reference's own code running from
+/root/reference (fgan_complete.py classes exec'd over the reference
+`layers` package)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_ref
+from fastfourierconvolution_tpu.compat import (
+    convert_fgan_generator,
+    convert_sn_discriminator,
+    load_reference_checkpoint,
+)
+from fastfourierconvolution_tpu.models import (
+    FFCGenerator,
+    SNConvDiscriminator,
+    to_uint8,
+)
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def reference_ns():
+    return torch_ref.install_reference_repo()
+
+
+def test_fgan_generator_checkpoint_migrates(reference_ns):
+    """Eval-mode outputs of the reference FGenerator and our
+    FFCGenerator must match after conversion (uint8, +-1 quantisation)."""
+    ref = reference_ns["FGenerator"](128, mg=4)
+    sd = torch_ref.seeded_state_dict(ref, seed=3)
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(2, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(z)).numpy()  # uint8 NCHW
+
+    ours = FFCGenerator.for_resolution(32, z_size=128)
+    variables = convert_fgan_generator(sd)
+    out = ours.apply(
+        variables, jnp.asarray(z), False,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    out_u8 = np.asarray(to_uint8(out))  # NHWC
+    ref_u8 = ref_out.transpose(0, 2, 3, 1)
+    assert out_u8.shape == ref_u8.shape
+    diff = np.abs(out_u8.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.05  # only occasional rounding splits
+
+
+def test_fgan_generator_checkpoint_container(reference_ns, tmp_path):
+    """The FFCModel .pth container ({model_state_dict, ...},
+    reference models/ffcmodel.py:66-107) unwraps transparently."""
+    ref = reference_ns["FGenerator"](128, mg=4)
+    sd = torch_ref.seeded_state_dict(ref, seed=5)
+    path = tmp_path / "gen_100_steps.pth"
+    torch.save(
+        {"model_state_dict": sd, "optimizer_state_dict": {},
+         "scheduler_state_dict": {}, "global_step": 100},
+        path,
+    )
+    loaded = load_reference_checkpoint(str(path))
+    assert "noise_to_feature.0.weight" in loaded
+    variables = convert_fgan_generator(str(path))
+    assert "noise_to_feature" in variables["params"]
+
+
+def test_sn_discriminator_checkpoint_migrates(reference_ns):
+    """Reference 7-conv SN Discriminator logits match after conversion
+    (eval mode: both use the stored power-iteration u)."""
+    ref = reference_ns["Discriminator"](sn=True, mg=4)
+    # converge the power iteration: torch's stored v lags u by a half
+    # step, so torch-eval sigma == ours only once u/v have converged
+    with torch.no_grad():
+        for _ in range(100):
+            ref(torch.randn(2, 3, 32, 32))
+    ref.eval()
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        ).numpy()
+
+    ours = SNConvDiscriminator.for_resolution(32)
+    variables = convert_sn_discriminator(ref.state_dict(), mg=4)
+    logits = ours.apply(variables, jnp.asarray(x), False)
+    err = torch_ref.rel_err(np.asarray(logits), ref_logits)
+    assert err < 2e-2, f"logits rel err {err} ({logits} vs {ref_logits})"

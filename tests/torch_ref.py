@@ -260,3 +260,60 @@ class MiniDINOv2(nn.Module):
             x = x + h * blk.ls2.gamma
         x = self.norm(x)
         return x[:, 0]
+
+
+def install_reference_repo():
+    """Make the reference repo's `layers`/`models` packages importable
+    (they pull util/data_loader, which imports torchvision at module
+    level — stub every touched torchvision surface) and return a
+    namespace with the reference FGenerator/Discriminator classes from
+    fgan_complete.py (exec'd from source: the script calls main() at
+    module bottom, so it cannot be imported directly)."""
+    install_stubs()
+    import torchvision
+
+    if "torchvision.utils" not in sys.modules:
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.save_image = lambda *a, **k: None
+        tv_utils.make_grid = lambda *a, **k: None
+        tv_ds = types.ModuleType("torchvision.datasets")
+        for name in (
+            "CIFAR10", "CelebA", "MNIST", "Omniglot", "Food101",
+            "StanfordCars", "SVHN", "Flowers102", "FashionMNIST",
+            "SUN397", "STL10", "ImageFolder",
+        ):
+            setattr(tv_ds, name, type(name, (), {}))
+        tv_tf = types.ModuleType("torchvision.transforms")
+        tv_tf_func = types.ModuleType("torchvision.transforms.functional")
+        tv_tf_func.normalize = torchvision.transforms.functional.normalize
+        tv_tf.functional = tv_tf_func
+        for name in (
+            "Compose", "Resize", "CenterCrop", "ToTensor", "Normalize",
+            "RandomCrop", "RandomHorizontalFlip", "RandomVerticalFlip",
+            "ColorJitter", "RandomAdjustSharpness", "RandomAutocontrast",
+            "RandomEqualize", "Grayscale", "Lambda",
+        ):
+            setattr(tv_tf, name, type(name, (), {}))
+        torchvision.utils = tv_utils
+        torchvision.datasets = tv_ds
+        torchvision.transforms = tv_tf
+        sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.datasets"] = tv_ds
+        sys.modules["torchvision.transforms"] = tv_tf
+        sys.modules["torchvision.transforms.functional"] = tv_tf_func
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import layers  # noqa: F401  (reference package)
+    from models.ffcmodel import FFCModel  # reference base
+
+    src = open(f"{REFERENCE_ROOT}/fgan_complete.py").read()
+    ns = {
+        "torch": torch,
+        "nn": nn,
+        "FFC_BN_ACT": layers.FFC_BN_ACT,
+        "NoiseInjection": layers.NoiseInjection,
+        "FFCModel": FFCModel,
+    }
+    exec(src[src.index("class FGenerator"):src.index("class FDiscriminator")], ns)
+    ns["layers"] = layers
+    return ns
