@@ -64,8 +64,11 @@ def _conv(sd, key):
 
 
 def _convt(sd, key):
-    """torch ConvTranspose2d IOHW -> HWIO."""
-    return jnp.asarray(np.transpose(_np(sd[key]), (2, 3, 0, 1)))
+    """torch ConvTranspose2d IOHW -> HWIO, spatially flipped (this
+    framework's conv_transpose2d formulates torch's convT as an
+    input-dilated forward conv, which reverses the kernel taps)."""
+    w = _np(sd[key])[:, :, ::-1, ::-1]
+    return jnp.asarray(np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))))
 
 
 def _bn(sd, prefix, params_out: Dict, stats_out: Dict, perm=None):
@@ -148,16 +151,27 @@ def _ffc_bn_act(sd, prefix: str, params: Dict, stats: Dict,
 
 
 def convert_fgan_generator(
-    path_or_dict, mg: int = 4, num_blocks: int = 3
+    path_or_dict, mg: int = 4, num_blocks: Optional[int] = None
 ) -> Dict:
     """Reference ``FGenerator`` state dict -> ``FFCGenerator`` variables
     ({params, batch_stats}).
 
-    Block naming: reference conv2..conv{2+num_blocks-1} -> block0.. ;
-    reference conv5 (the ratio->0 tail) -> to_rgb; lcl/glb_noise{i+2} ->
-    lcl/glb_noise{i} (reference fgan_complete.py:92-114).
+    The 32/64/128px script variants all follow the same naming scheme
+    (fgan_complete.py:92-114, fgan64_complete.py:101-123,
+    fgan128_complete.py:458-484): blocks conv2..conv{N} + a ratio->0
+    tail conv{N+1}; ``num_blocks`` is auto-detected from the keys when
+    not given. Mapping: conv{i+2} -> block{i}; the tail -> to_rgb;
+    lcl/glb_noise{i+2} -> lcl/glb_noise{i}.
     """
     sd = load_reference_checkpoint(path_or_dict)
+    if num_blocks is None:
+        idx = sorted(
+            int(k.split(".")[0][4:])
+            for k in sd
+            if k.startswith("conv") and k.endswith(".ffc.convl2l.weight")
+        )
+        assert idx and idx[0] == 2, f"unrecognised FGenerator keys: {idx}"
+        num_blocks = len(idx) - 1  # the last conv is the to-RGB tail
     params: Dict = {}
     stats: Dict = {}
 

@@ -58,6 +58,26 @@ def test_fgan_generator_checkpoint_migrates(reference_ns):
     assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
     assert (diff > 0).mean() < 0.05  # only occasional rounding splits
 
+    # non-vacuous check (random weights saturate tanh, making uint8
+    # comparisons insensitive): train-mode float forward with zeroed
+    # noise weights must match too
+    sd2 = dict(sd)
+    for k in list(sd2):
+        if k.startswith(("lcl_noise", "glb_noise")):
+            sd2[k] = torch.zeros_like(sd2[k])
+    ref.load_state_dict(sd2)
+    ref.train()
+    with torch.no_grad():
+        ref_tr = ref(torch.from_numpy(z)).numpy()
+    v2 = convert_fgan_generator(sd2)
+    out_tr, _ = ours.apply(
+        v2, jnp.asarray(z), True,
+        rngs={"noise": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )
+    err = torch_ref.rel_err(np.asarray(out_tr), ref_tr.transpose(0, 2, 3, 1))
+    assert err < 1e-3, f"train-mode rel err {err}"
+
 
 def test_fgan_generator_checkpoint_container(reference_ns, tmp_path):
     """The FFCModel .pth container ({model_state_dict, ...},
@@ -98,3 +118,47 @@ def test_sn_discriminator_checkpoint_migrates(reference_ns):
     logits = ours.apply(variables, jnp.asarray(x), False)
     err = torch_ref.rel_err(np.asarray(logits), ref_logits)
     assert err < 2e-2, f"logits rel err {err} ({logits} vs {ref_logits})"
+
+
+def test_fgan64_generator_checkpoint_migrates(reference_ns):
+    """The 64px script variant (5 blocks, fgan64_complete.py:85-156)
+    auto-detects its block count and converts with the same mapping."""
+    import torch_ref as tr
+
+    src = open(f"{tr.REFERENCE_ROOT}/fgan64_complete.py").read()
+    ns = dict(reference_ns)
+    exec(
+        src[src.index("class FGenerator"):src.index("class Discriminator")],
+        ns,
+    )
+    ref = ns["FGenerator"](128, mg=4)
+    sd = torch_ref.seeded_state_dict(ref, seed=11)
+    ref.load_state_dict(sd)
+    ref.train()  # eval mode in fgan64 uses a degenerate min/max clamp
+    # compare train-mode forward with noise weights zeroed (noise terms
+    # are RNG-dependent; zero weight makes them exact no-ops)
+    for k in list(sd):
+        if k.startswith(("lcl_noise", "glb_noise")):
+            sd[k] = torch.zeros_like(sd[k])
+    ref.load_state_dict(sd)
+    rng = np.random.RandomState(4)
+    z = rng.randn(2, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(z)).numpy()  # float NCHW (train)
+
+    from fastfourierconvolution_tpu.models import FFCGenerator
+
+    ours = FFCGenerator.for_resolution(64, z_size=128)
+    variables = convert_fgan_generator(sd)  # num_blocks auto-detected
+    # train-mode forward without mutating collections: BN uses batch
+    # stats on both sides
+    out, _ = ours.apply(
+        variables, jnp.asarray(z), True,
+        rngs={"noise": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )
+    err = torch_ref.rel_err(
+        np.asarray(out), ref_out.transpose(0, 2, 3, 1)
+    )
+    assert out.shape == (2, 64, 64, 3)
+    assert err < 1e-3, f"fgan64 rel err {err}"
