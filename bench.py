@@ -30,7 +30,10 @@ double-counts fusion operands (>HBM peak if read as traffic); it is
 reported for trend only.
 
 Set FFC_TPU_BENCH_PROFILE=<dir> to additionally dump a jax.profiler
-trace of 3 timed iterations.
+trace of 3 timed iterations. Set FFC_TPU_BENCH_RES=128 (default 32) to
+measure the fgan128 config instead (ngf 128, ratio .5, 6 blocks — the
+BASELINE.md secondary row); the driver-recorded headline metric is
+always the 32px flagship.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ import sys
 import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
-METRIC = "ffcgan32_train_images_per_sec"
+METRIC = "ffcgan{res}_train_images_per_sec"
 BATCH = 64
 TPU_V5E_BF16_PEAK = 197e12  # FLOP/s
 TPU_V5E_HBM_BW = 819e9  # B/s
@@ -62,18 +65,20 @@ def main() -> None:
     # state stay f32), one fused [fake; real] D forward (same math for
     # the BN-free SN discriminator), K steps chained under one jit.
     policy.set_compute_dtype("bf16")
-    K = 16
+    res = int(os.environ.get("FFC_TPU_BENCH_RES", "32"))
+    K = 16 if res <= 64 else 4
 
-    g = FFCGenerator.for_resolution(32, z_size=128)
-    d = SNConvDiscriminator.for_resolution(32)
+    g = FFCGenerator.for_resolution(res, z_size=128)
+    d = SNConvDiscriminator.for_resolution(res)
     trainer = GANTrainer(
         g, d, z_size=128, lr=2e-4, total_steps=100_000, num_dis_updates=1,
         fused_dis_batch=True,
+        remat=os.environ.get("FFC_TPU_BENCH_REMAT") or None,
     )
 
     rng = jax.random.PRNGKey(0)
     real = jnp.asarray(
-        jax.random.uniform(rng, (BATCH, 32, 32, 3), minval=-1.0, maxval=1.0)
+        jax.random.uniform(rng, (BATCH, res, res, 3), minval=-1.0, maxval=1.0)
     )
     state = trainer.init(rng, real)
     reals = jnp.broadcast_to(real, (K,) + real.shape)
@@ -115,19 +120,20 @@ def main() -> None:
     mfu = flops_step / step_time / TPU_V5E_BF16_PEAK
     hbm = bytes_step / step_time / TPU_V5E_HBM_BW
 
+    metric = METRIC.format(res=res)
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
         try:
             base = json.load(open(BASELINE_FILE))
-            if base.get("metric") == METRIC and base.get("value", 0) > 0:
+            if base.get("metric") == metric and base.get("value", 0) > 0:
                 vs = images_per_sec / base["value"]
         except Exception:
             pass
-    else:
+    elif res == 32:
         with open(BASELINE_FILE, "w") as f:
             json.dump(
                 {
-                    "metric": METRIC,
+                    "metric": metric,
                     "value": images_per_sec,
                     "unit": "img/s",
                     "note": "first recorded run (round 1)",
@@ -138,7 +144,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": METRIC,
+                "metric": metric,
                 "value": round(images_per_sec, 2),
                 "unit": "img/s",
                 "vs_baseline": round(vs, 4),

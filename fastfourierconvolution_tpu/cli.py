@@ -75,6 +75,7 @@ def run_train(cfg) -> None:
         gp_lambda=t.gp_lambda,
         aw_method=t.aw_method,
         update_order=t.update_order,
+        remat=t.remat,
     )
 
     dataset = load_dataset(

@@ -37,6 +37,62 @@ def _pair(v) -> Tuple[int, int]:
     return (int(v), int(v))
 
 
+# Lane-starved output heads (e.g. the generators' to_rgb convs: C -> 3
+# RGB channels on large maps) hit a pathological TPU conv emitter: 3
+# output channels against 128-wide lanes runs the op ~10x below
+# bandwidth (profiled: the two 64->3 convs + their grads were ~30% of
+# the whole fgan128 train step). ``tapmix`` reformulates a stride-1
+# small-C_out conv as one dense channel-mix matmul x @ K(ci, k*k*co)
+# (healthy MXU shape) followed by k*k shifted adds (pure VPU), which is
+# mathematically identical. Heuristic gate below; measured ~1.5-2.7x on
+# the affected shapes in-context, neutral-to-slightly-negative on tiny
+# maps, hence the h*w floor.
+import os as _os
+
+_TAPMIX = _os.environ.get("FFC_TPU_TAPMIX", "1") != "0"  # A/B switch
+
+
+def set_tapmix_enabled(enabled: bool) -> None:
+    global _TAPMIX
+    _TAPMIX = bool(enabled)
+
+
+def _tapmix_applicable(x, kernel, sh, sw, ph, pw, dh, dw, groups) -> bool:
+    kh, kw, ci, co = kernel.shape
+    return (
+        _TAPMIX
+        and (sh, sw) == (1, 1)
+        and (dh, dw) == (1, 1)
+        and groups == 1
+        and co <= 4
+        and kh * kw > 1
+        and ci >= 8 * co
+        and x.shape[1] * x.shape[2] >= 64 * 64
+    )
+
+
+def _conv2d_tapmix(x, kernel, ph, pw):
+    """Stride-1 conv as channel-mix matmul + kh*kw shifted adds (exact)."""
+    b, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    oh = h + 2 * ph - kh + 1
+    ow = w + 2 * pw - kw + 1
+    km = kernel.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+    z = jnp.dot(
+        x.reshape(b * h * w, ci), km, preferred_element_type=jnp.float32
+    )
+    if x.dtype != jnp.float32:
+        z = z.astype(x.dtype)
+    z = z.reshape(b, h, w, kh * kw, co)
+    zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0), (0, 0)))
+    y = jnp.zeros((b, oh, ow, co), jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            t = dy * kw + dx
+            y = y + zp[:, dy : dy + oh, dx : dx + ow, t].astype(jnp.float32)
+    return y
+
+
 def conv2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -66,6 +122,10 @@ def conv2d(
             # (gradient) rule with bf16 operands; MXU accumulation is f32
             # internally regardless, so emit the operand dtype directly
             preferred_element_type = None
+    if precision is None and _tapmix_applicable(
+        x, kernel, sh, sw, ph, pw, dh, dw, groups
+    ):
+        return _conv2d_tapmix(x, kernel, ph, pw).astype(compute_dtype())
     out = lax.conv_general_dilated(
         x,
         kernel,

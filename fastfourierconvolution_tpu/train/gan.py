@@ -139,6 +139,7 @@ class GANTrainer:
         aw_alpha2: float = 0.75,
         aw_delta: float = 0.05,
         aw_epsilon: float = 0.05,
+        remat: Optional[str] = None,
     ):
         self.g_model = g_model
         self.d_model = d_model
@@ -165,6 +166,17 @@ class GANTrainer:
         # runs one SN power iteration per forward, so fusing also means 1
         # iteration instead of 2 per D step (inconsequential).
         self.fused_dis_batch = fused_dis_batch
+        # Activation rematerialisation of the differentiated model
+        # applies: a memory-headroom knob for configs whose backward
+        # activations don't fit HBM (large batch / >128px ladders).
+        # 'dots' keeps matmul/conv outputs and recomputes elementwise
+        # chains; 'full' recomputes everything. Measured on the fgan128
+        # step (v5e): 'dots' cuts peak temp memory 3.54->3.11 GB (-12%)
+        # at +20% step time — leave None unless memory-bound. Same math
+        # as remat=None; only XLA fusion grouping (last-ulp f32
+        # rounding) differs (test_train_step.py::test_remat_matches_...).
+        assert remat in (None, "none", "dots", "full"), remat
+        self.remat = None if remat in (None, "none") else remat
         self.gen_loss, self.dis_loss = LOSS_PAIRS[loss]
         self.g_tx = make_optimizer(lr, total_steps, b1, b2, kind=optimizer)
         # D's optax step count advances num_dis_updates times per global
@@ -175,6 +187,28 @@ class GANTrainer:
         )
 
     # -- helpers -------------------------------------------------------------
+
+    def _maybe_remat(self, fn: Callable, static_argnums) -> Callable:
+        """Wrap a model apply in jax.checkpoint per ``self.remat``.
+
+        Only used inside the differentiated loss closures — remat of an
+        un-differentiated call is a no-op. ``prevent_cse=True`` is
+        required for the memory effect: measured on the fgan128 step,
+        ``prevent_cse=False`` lets XLA's CSE merge the recomputation
+        back with the forward, reproducing the no-remat HLO exactly
+        (identical temp-memory and step time).
+        """
+        if self.remat is None:
+            return fn
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if self.remat == "dots"
+            else None
+        )
+        return jax.checkpoint(
+            fn, policy=policy, prevent_cse=True,
+            static_argnums=static_argnums,
+        )
 
     def _g_vars(self, g: NetState) -> Dict:
         v = {"params": g.params}
@@ -297,12 +331,15 @@ class GANTrainer:
         g_aux_in = self._g_vars(g_in)
         d_vars = self._g_vars(d_in)
 
+        apply_g = self._maybe_remat(self._apply_g, (3,))
+        apply_d = self._maybe_remat(self._apply_d, (2,))
+
         def g_loss_fn(g_params):
             g_vars = dict(g_aux_in)
             g_vars["params"] = g_params
-            fake, g_updates = self._apply_g(g_vars, z, noise_rng, y=labels)
-            logits, d_updates = self._apply_d(
-                d_vars, fake, y=labels, rng=d_noise_rng
+            fake, g_updates = apply_g(g_vars, z, noise_rng, True, labels)
+            logits, d_updates = apply_d(
+                d_vars, fake, True, labels, d_noise_rng
             )
             return self.gen_loss(logits), (g_updates, d_updates)
 
@@ -345,6 +382,7 @@ class GANTrainer:
                 spectral=g_updates.get("spectral", g_state.spectral),
             )
             d_aux_in = self._g_vars(d_state)
+            apply_d = self._maybe_remat(self._apply_d, (2,))
 
             def d_loss_fn(d_params):
                 dv = dict(d_aux_in)
@@ -356,16 +394,16 @@ class GANTrainer:
                         if labels is not None
                         else None
                     )
-                    logits, upd = self._apply_d(dv, both, y=y2, rng=dn1)
+                    logits, upd = apply_d(dv, both, True, y2, dn1)
                     fake_logits, real_logits = jnp.split(logits, 2, axis=0)
                     loss = self.dis_loss(fake_logits, real_logits)
                 else:
-                    fake_logits, upd1 = self._apply_d(
-                        dv, fake, y=labels, rng=dn1
+                    fake_logits, upd1 = apply_d(
+                        dv, fake, True, labels, dn1
                     )
                     dv2 = self._merge(dv, upd1)
-                    real_logits, upd2 = self._apply_d(
-                        dv2, real, y=labels, rng=dn2
+                    real_logits, upd2 = apply_d(
+                        dv2, real, True, labels, dn2
                     )
                     loss = self.dis_loss(fake_logits, real_logits)
                     upd = self._merge(upd1, upd2)

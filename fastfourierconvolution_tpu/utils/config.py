@@ -62,6 +62,7 @@ class TrainConfig:
     optimizer: str = "adamw"  # adamw|adam
     seed: int = 0
     precision: str = "f32"  # f32|bf16 (activation compute dtype)
+    remat: Optional[str] = None  # none|dots|full activation rematerialisation
 
 
 @dataclass

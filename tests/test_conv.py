@@ -1,5 +1,6 @@
 """Shape/geometry parity tests for NHWC conv ops vs torch formulas."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -51,6 +52,55 @@ def test_conv2d_values_match_torch():
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("k,p,co", [(3, 1, 3), (5, 2, 1), (3, 0, 4)])
+def test_tapmix_matches_direct_conv(k, p, co):
+    """The tapmix reformulation (channel-mix matmul + shifted adds) must
+    be numerically equivalent to the direct lax conv it replaces, in
+    forward and gradient, on shapes that trigger its heuristic gate."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 32).astype(np.float32))
+    kern = jnp.asarray(rng.randn(k, k, 32, co).astype(np.float32) * 0.1)
+    assert conv._tapmix_applicable(x, kern, 1, 1, p, p, 1, 1, 1)
+
+    def run(enabled):
+        conv.set_tapmix_enabled(enabled)
+        try:
+            def f(x, kern):
+                return conv.conv2d(x, kern, stride=1, padding=p)
+
+            out, vjp = jax.vjp(f, x, kern)
+            gx, gk = vjp(jnp.ones_like(out))
+            return out, gx, gk
+        finally:
+            conv.set_tapmix_enabled(True)
+
+    out_t, gx_t, gk_t = run(True)
+    out_d, gx_d, gk_d = run(False)
+    assert out_t.shape == out_d.shape
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_d),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_d),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_d),
+                               atol=2e-3, rtol=2e-4)
+
+
+def test_tapmix_gate_excludes_ineligible_shapes():
+    x_small = jnp.zeros((2, 16, 16, 32))
+    x_big = jnp.zeros((2, 64, 64, 32))
+    kern = jnp.zeros((3, 3, 32, 3))
+    # spatial floor
+    assert not conv._tapmix_applicable(x_small, kern, 1, 1, 1, 1, 1, 1, 1)
+    # stride
+    assert not conv._tapmix_applicable(x_big, kern, 2, 2, 1, 1, 1, 1, 1)
+    # wide C_out (healthy lanes already)
+    wide = jnp.zeros((3, 3, 32, 64))
+    assert not conv._tapmix_applicable(x_big, wide, 1, 1, 1, 1, 1, 1, 1)
+    # 1x1 (already a matmul)
+    one = jnp.zeros((1, 1, 32, 3))
+    assert not conv._tapmix_applicable(x_big, one, 1, 1, 0, 0, 1, 1, 1)
 
 
 def test_avg_pool_and_upsample():

@@ -89,6 +89,37 @@ def test_num_dis_updates(tiny_trainer_and_state):
     assert np.isfinite(float(metrics["loss_d"]))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("remat", ["dots", "full"])
+def test_remat_matches_no_remat(tiny_trainer_and_state, remat):
+    """jax.checkpoint changes scheduling, not math: an update step under
+    remat must produce the same state as the un-rematerialised step."""
+    trainer, state = tiny_trainer_and_state
+    g = trainer.g_model
+    d = trainer.d_model
+    r_trainer = GANTrainer(g, d, z_size=32, total_steps=100, remat=remat)
+    real = jnp.tanh(jax.random.normal(jax.random.PRNGKey(2), (8, 16, 16, 3)))
+    base_state, base_m = jax.jit(trainer.update_step)(state, real)
+    r_state, r_m = jax.jit(r_trainer.update_step)(state, real)
+    np.testing.assert_allclose(
+        float(base_m["loss_g"]), float(r_m["loss_g"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(base_m["loss_d"]), float(r_m["loss_d"]), rtol=1e-5
+    )
+    # not bit-identical: remat changes XLA's fusion grouping, so f32
+    # rounding can differ in the last ulps; tolerances cover that while
+    # still catching any real math divergence
+    fa, _ = jax.flatten_util.ravel_pytree(base_state.g.params)
+    fb, _ = jax.flatten_util.ravel_pytree(r_state.g.params)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               atol=2e-5, rtol=1e-4)
+    fa, _ = jax.flatten_util.ravel_pytree(base_state.d.params)
+    fb, _ = jax.flatten_util.ravel_pytree(r_state.d.params)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_linear_lr_decay_schedule():
     from fastfourierconvolution_tpu.train.gan import linear_decay_schedule
 
