@@ -45,7 +45,9 @@ import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 METRIC = "ffcgan{res}_train_images_per_sec"
-BATCH = 64
+# reference protocol batch (fgan_complete.py:470); FFC_TPU_BENCH_BATCH
+# overrides for throughput-vs-batch scaling studies (BASELINE.md)
+BATCH = int(os.environ.get("FFC_TPU_BENCH_BATCH", "64"))
 TPU_V5E_BF16_PEAK = 197e12  # FLOP/s
 TPU_V5E_HBM_BW = 819e9  # B/s
 
