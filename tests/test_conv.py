@@ -87,6 +87,38 @@ def test_tapmix_matches_direct_conv(k, p, co):
                                atol=2e-3, rtol=2e-4)
 
 
+@pytest.mark.slow
+def test_tapmix_model_level_equivalence():
+    """The 64px FFC generator's to_rgb head (C->3 on a 64x64 map) crosses
+    the tapmix gate; the full model forward must be unchanged by it."""
+    from fastfourierconvolution_tpu.models import FFCGenerator
+
+    g = FFCGenerator.for_resolution(64, z_size=32, ngf=16)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+    variables = g.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        z, True,
+    )
+
+    def fwd():
+        return g.apply(
+            variables, z, False, rngs={"noise": jax.random.PRNGKey(3)}
+        )
+
+    conv.set_tapmix_enabled(True)
+    try:
+        out_t = fwd()
+    finally:
+        conv.set_tapmix_enabled(False)
+    try:
+        out_d = fwd()
+    finally:
+        conv.set_tapmix_enabled(True)
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_d), atol=5e-4, rtol=5e-4
+    )
+
+
 def test_tapmix_gate_excludes_ineligible_shapes():
     x_small = jnp.zeros((2, 16, 16, 32))
     x_big = jnp.zeros((2, 64, 64, 32))
