@@ -122,7 +122,10 @@ def main() -> None:
     mfu = flops_step / step_time / TPU_V5E_BF16_PEAK
     hbm = bytes_step / step_time / TPU_V5E_HBM_BW
 
-    metric = METRIC.format(res=res)
+    # non-protocol batch sizes get their own metric name so a scaling
+    # study can never compare against (or overwrite) the batch-64
+    # baseline record
+    metric = METRIC.format(res=res) + ("" if BATCH == 64 else f"_b{BATCH}")
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
         try:
@@ -131,7 +134,7 @@ def main() -> None:
                 vs = images_per_sec / base["value"]
         except Exception:
             pass
-    elif res == 32:
+    elif res == 32 and BATCH == 64:
         with open(BASELINE_FILE, "w") as f:
             json.dump(
                 {

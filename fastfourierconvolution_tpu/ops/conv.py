@@ -78,11 +78,12 @@ def _conv2d_tapmix(x, kernel, ph, pw):
     oh = h + 2 * ph - kh + 1
     ow = w + 2 * pw - kw + 1
     km = kernel.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+    # keep the per-tap partials in f32: downcasting them to bf16 before
+    # the tap accumulation would add a rounding step the direct conv (one
+    # f32 MXU accumulation over ci AND taps) does not have
     z = jnp.dot(
         x.reshape(b * h * w, ci), km, preferred_element_type=jnp.float32
     )
-    if x.dtype != jnp.float32:
-        z = z.astype(x.dtype)
     z = z.reshape(b, h, w, kh * kw, co)
     zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0), (0, 0)))
     y = jnp.zeros((b, oh, ow, co), jnp.float32)

@@ -410,9 +410,11 @@ class GANTrainer:
                 if self.use_gp:
                     # WGAN-GP (reference sagan/trainer.py:130-148):
                     # double-backprop through D on interpolates; the
-                    # collection updates of this extra pass are discarded
+                    # collection updates of this extra pass are discarded.
+                    # remat applies here too — the GP double-backprop is
+                    # the dominant activation-memory consumer of this loss
                     def d_of_x(x):
-                        logits, _ = self._apply_d(dv, x, y=labels, rng=dn1)
+                        logits, _ = apply_d(dv, x, True, labels, dn1)
                         return logits
 
                     loss = loss + self.gp_lambda * L.gradient_penalty(
@@ -428,13 +430,13 @@ class GANTrainer:
                 def real_fn(p):
                     dv = dict(d_aux_in)
                     dv["params"] = p
-                    logits, upd = self._apply_d(dv, real, y=labels, rng=dn2)
+                    logits, upd = apply_d(dv, real, True, labels, dn2)
                     return real_term(logits), (logits, upd)
 
                 def fake_fn(p):
                     dv = dict(d_aux_in)
                     dv["params"] = p
-                    logits, upd = self._apply_d(dv, fake, y=labels, rng=dn1)
+                    logits, upd = apply_d(dv, fake, True, labels, dn1)
                     return fake_term(logits), (logits, upd)
 
                 (l_r, (real_logits, upd_r)), g_r = jax.value_and_grad(

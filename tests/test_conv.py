@@ -88,16 +88,26 @@ def test_tapmix_matches_direct_conv(k, p, co):
 
 
 @pytest.mark.slow
-def test_tapmix_model_level_equivalence():
-    """The 64px FFC generator's to_rgb head (C->3 on a 64x64 map) crosses
-    the tapmix gate; the full model forward must be unchanged by it."""
+def test_tapmix_model_level_equivalence(monkeypatch):
+    """The 64px FFC generator's to_rgb local head (24->3 on a 64x64 map
+    with ngf=32, ratio .25) crosses the tapmix gate; the full model
+    forward must be unchanged by it. A counter proves the path actually
+    fired (with ngf=16 the head is 12->3 and the ci>=8*co floor would
+    make this test vacuous)."""
     from fastfourierconvolution_tpu.models import FFCGenerator
 
-    g = FFCGenerator.for_resolution(64, z_size=32, ngf=16)
+    g = FFCGenerator.for_resolution(64, z_size=32, ngf=32)
     z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
     variables = g.init(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
         z, True,
+    )
+
+    calls = []
+    real_tapmix = conv._conv2d_tapmix
+    monkeypatch.setattr(
+        conv, "_conv2d_tapmix",
+        lambda *a, **kw: (calls.append(1), real_tapmix(*a, **kw))[1],
     )
 
     def fwd():
@@ -110,12 +120,39 @@ def test_tapmix_model_level_equivalence():
         out_t = fwd()
     finally:
         conv.set_tapmix_enabled(False)
+    assert calls, "tapmix never engaged — test would be vacuous"
     try:
         out_d = fwd()
     finally:
         conv.set_tapmix_enabled(True)
     np.testing.assert_allclose(
         np.asarray(out_t), np.asarray(out_d), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_tapmix_matches_direct_conv_bf16_policy():
+    """Under the bf16 compute policy (the shipped training config) the
+    tapmix path must track the direct conv within bf16 rounding: both
+    run bf16 MXU matmuls with f32 accumulation — tapmix keeps per-tap
+    partials in f32, so the only divergence is bf16 operand rounding."""
+    from fastfourierconvolution_tpu.utils import policy
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 32).astype(np.float32))
+    kern = jnp.asarray(rng.randn(3, 3, 32, 3).astype(np.float32) * 0.1)
+    policy.set_compute_dtype("bf16")
+    try:
+        conv.set_tapmix_enabled(True)
+        out_t = conv.conv2d(x, kern, stride=1, padding=1)
+        conv.set_tapmix_enabled(False)
+        out_d = conv.conv2d(x, kern, stride=1, padding=1)
+    finally:
+        policy.set_compute_dtype("f32")
+        conv.set_tapmix_enabled(True)
+    np.testing.assert_allclose(
+        np.asarray(out_t, dtype=np.float32),
+        np.asarray(out_d, dtype=np.float32),
+        atol=5e-2, rtol=5e-2,
     )
 
 

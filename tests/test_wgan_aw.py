@@ -65,6 +65,29 @@ def test_wgan_gp_train_step_runs_and_updates():
     assert abs(float(metrics["loss_d"]) - float(m2["loss_d"])) > 1e-6
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(loss="wgan-gp", gp_lambda=10.0), dict(loss="hinge", aw_method=True)],
+    ids=["wgan-gp", "aw"],
+)
+def test_remat_composes_with_gp_and_aw(kwargs):
+    """remat wraps the GP double-backprop and the aw real/fake passes
+    too (they would otherwise silently keep no-remat memory); the step
+    must compile, stay finite, and match the un-rematerialised one."""
+    g, d = _tiny_pair()
+    base = GANTrainer(g, d, z_size=16, total_steps=10, **kwargs)
+    rmt = GANTrainer(g, d, z_size=16, total_steps=10, remat="dots", **kwargs)
+    real = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 3))
+    state = base.init(jax.random.PRNGKey(1), real)
+    s_base, m_base = jax.jit(base.update_step)(state, real)
+    s_rmt, m_rmt = jax.jit(rmt.update_step)(state, real)
+    assert np.isfinite(float(m_rmt["loss_d"]))
+    np.testing.assert_allclose(
+        float(m_base["loss_d"]), float(m_rmt["loss_d"]), rtol=1e-4
+    )
+    assert _params_delta(s_base.d.params, s_rmt.d.params) < 1e-5
+
+
 def test_aw_method_train_step_runs_and_updates():
     g, d = _tiny_pair()
     trainer = GANTrainer(
