@@ -130,6 +130,10 @@ class FFCGenerator(nn.Module):
             128: dict(
                 ngf=128, ratio_g=0.5, mg=4, channel_mults=(4, 2, 1, 1, 1)
             ),
+            # beyond the reference's 128px ceiling: one more x2 block
+            256: dict(
+                ngf=128, ratio_g=0.5, mg=4, channel_mults=(4, 2, 1, 1, 1, 1)
+            ),
         }
         if resolution in presets:
             cfg = dict(presets[resolution])
@@ -156,6 +160,12 @@ _D_LADDERS = {
          (256, 4, 2), (512, 3, 1), (512, 4, 2)),
     128: ((64, 3, 1), (64, 4, 2), (128, 3, 1), (128, 4, 2), (256, 3, 1),
           (256, 4, 2), (512, 3, 1), (512, 4, 2), (512, 4, 2)),
+    # 256 extends the reference's pattern one more doubling (the
+    # reference itself stops at 128px, fgan128_complete.py:525-562):
+    # each extra octave appends a (512, 4, 2) downsample so the head
+    # stays mg x mg x 512
+    256: ((64, 3, 1), (64, 4, 2), (128, 3, 1), (128, 4, 2), (256, 3, 1),
+          (256, 4, 2), (512, 3, 1), (512, 4, 2), (512, 4, 2), (512, 4, 2)),
 }
 
 

@@ -148,3 +148,40 @@ def test_bce_dcgan_pair():
     assert out.shape == (2, 64, 64, 3)
     new_state, metrics = jax.jit(trainer.update_step)(state, real)
     assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_256px_ladder_shapes():
+    """Beyond-reference resolution: the 256px G/D presets resolve to a
+    256x256 generator and an mg x mg x 512 discriminator head (the
+    reference stops at 128px; its ladder pattern is extended one
+    doubling — see models/ffc_gan.py _D_LADDERS[256])."""
+    from fastfourierconvolution_tpu.models import (
+        FFCGenerator,
+        SNConvDiscriminator,
+    )
+
+    g = FFCGenerator.for_resolution(256, z_size=32, ngf=16)
+    d = SNConvDiscriminator.for_resolution(256)
+    z = jnp.zeros((1, 32))
+
+    def g_fwd():
+        v = g.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            z, True,
+        )
+        return g.apply(
+            v, z, True, rngs={"noise": jax.random.PRNGKey(3)},
+            mutable=["batch_stats", "spectral"],
+        )
+
+    out = jax.eval_shape(g_fwd)
+    assert out[0].shape == (1, 256, 256, 3)
+
+    x = jnp.zeros((1, 256, 256, 3))
+
+    def d_fwd():
+        v = d.init({"params": jax.random.PRNGKey(4)}, x, True)
+        return d.apply(v, x, True, mutable=["spectral"])
+
+    logits = jax.eval_shape(d_fwd)
+    assert logits[0].shape == (1, 1)
