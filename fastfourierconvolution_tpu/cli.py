@@ -241,6 +241,29 @@ def run_train(cfg) -> None:
     profiling = False
     profile_at = cfg.log.profile_at_step
 
+    def fetch_put():
+        """Fetch the next (chunk of) batch(es) and start its async
+        host->device copy; returns (real, labels) device arrays."""
+        if spc > 1:
+            chunk = [next(batches) for _ in range(spc)]
+            real = put_global_batch(bk_shard, np.stack([b[0] for b in chunk]))
+            labels = (
+                put_global_batch(bk_shard, np.stack([b[1] for b in chunk]))
+                if cfg.model.conditional
+                else None
+            )
+        else:
+            r, y = next(batches)
+            real = put_global_batch(b_shard, np.asarray(r))
+            labels = (
+                put_global_batch(b_shard, np.asarray(y))
+                if cfg.model.conditional
+                else None
+            )
+        return real, labels
+
+    pending = None
+
     def _stop_profiler():
         jax.profiler.stop_trace()
         print(
@@ -261,27 +284,27 @@ def run_train(cfg) -> None:
                 profile_at = None
                 profiling = False
         if spc > 1:
-            chunk = [next(batches) for _ in range(spc)]
-            reals = np.stack([b[0] for b in chunk])
-            real = put_global_batch(bk_shard, reals)
+            real, labels = pending if pending is not None else fetch_put()
             if cfg.model.conditional:
-                labels = put_global_batch(
-                    bk_shard, np.stack([b[1] for b in chunk])
-                )
                 state, metrics = stepk_fn(state, real, labels)
             else:
                 state, metrics = stepk_fn(state, real)
+            # double-buffer: start the next chunk's host->device copy
+            # while the K steps execute (the tunnel transfer otherwise
+            # serialises with compute — measured 4s vs ~1.3s per chunk
+            # on the fgan128 config); the metric pull below is what
+            # blocks on completion
+            pending = fetch_put()
             metrics = {k: v[-1] for k, v in metrics.items()}
             step += spc
             pbar.update(spc)
         else:
-            real, labels = next(batches)
-            real = put_global_batch(b_shard, np.asarray(real))
+            real, labels = pending if pending is not None else fetch_put()
             if cfg.model.conditional:
-                labels = put_global_batch(b_shard, np.asarray(labels))
                 state, metrics = step_fn(state, real, labels)
             else:
                 state, metrics = step_fn(state, real)
+            pending = fetch_put()
             step += 1
             pbar.update(1)
 
