@@ -402,13 +402,22 @@ def calculate_metrics(
 
         wanted_layers = tuple(sorted(layers))
 
+        # weights routed by extractor identity: 'vgg16' (the PRC default
+        # via the dual-extractor split) takes vgg_weights_path — handing
+        # it the inception checkpoint would convert garbage
+        fe_weights = (
+            vgg_weights_path
+            if fe_name == "vgg16"
+            else feature_extractor_weights_path
+        )
+
         def get_extractor():
             # constructed lazily: a fully stats-cached FID call never
             # needs the (expensive to build) extractor at all
             return get_feature_extractor(
                 fe_name,
                 wanted_layers,
-                weights_path=feature_extractor_weights_path,
+                weights_path=fe_weights,
                 batch_size=batch_size,
             )
 

@@ -103,6 +103,37 @@ def test_dual_extractor_split_prc_vs_inception_defaults(toy_extractors):
     assert {"toy-a", "toy-b"} <= names
 
 
+def test_weight_paths_routed_by_extractor_identity(toy_extractors,
+                                                   monkeypatch):
+    """vgg16 (the PRC default in the dual split) must receive
+    vgg_weights_path, never the inception checkpoint passed as
+    feature_extractor_weights_path."""
+    monkeypatch.setitem(P.DEFAULT_FEATURE_EXTRACTOR, "prc", "vgg16")
+    seen = {}
+    real_get = P.get_feature_extractor
+
+    def spy(name, features_list, weights_path=None, batch_size=128):
+        seen[name] = weights_path
+        # route to the toy factory regardless so no real weights load
+        return real_get("toy-a" if name != "toy-b" else name,
+                        ("la1", "la2"), None, batch_size)
+
+    monkeypatch.setattr(P, "get_feature_extractor", spy)
+    P.calculate_metrics(
+        _imgs(), _imgs(seed=3),
+        fid=True, prc=True,
+        feature_layer_prc="la1", feature_layer_fid="la2",
+        batch_size=8,
+        feature_extractor_weights_path="/path/inception.pth",
+        vgg_weights_path="/path/vgg16.pth",
+        cache=False,
+    )
+    assert seen["vgg16"] == "/path/vgg16.pth"
+    # the inception-side call (defaulted to toy-a here) keeps the
+    # feature-extractor path
+    assert seen["toy-a"] == "/path/inception.pth"
+
+
 def test_single_extractor_when_forced(toy_extractors):
     P._EXTRACTOR_CACHE.clear()
     out = P.calculate_metrics(
