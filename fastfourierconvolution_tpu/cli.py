@@ -104,13 +104,36 @@ def run_train(cfg) -> None:
         (cfg.eval.fid or cfg.eval.kid or cfg.eval.prc)
         and cfg.eval.input2_dataset is None
     ):
+        import hashlib
+
         from .eval import register_dataset as register_eval_dataset
 
-        name = f"{cfg.data.dataset}-{cfg.data.image_size}"
+        # the registered name keys the on-disk feature/statistics cache,
+        # so it must identify the actual data: path-dependent kinds and
+        # augmented stacks get a content tag, and the sample count is
+        # always included (a generic 'folder-64' would silently reuse a
+        # previous run's reference statistics)
+        tag = ""
+        if cfg.data.dataset.lower() in (
+            "folder", "local", "local_dataset", "tar"
+        ) or cfg.data.aug_stack:
+            h = hashlib.sha1(
+                f"{os.path.abspath(cfg.data.data_dir)}|{cfg.data.aug_stack}"
+                .encode()
+            ).hexdigest()[:8]
+            tag = f"-{h}"
+        name = (
+            f"{cfg.data.dataset}-{cfg.data.image_size}{tag}"
+            f"-n{cfg.eval.num_samples_for_metrics}"
+        )
 
         def _load_real(n=cfg.eval.num_samples_for_metrics):
             take = min(n, len(dataset))
-            imgs = np.stack([dataset[i][0] for i in range(take)])
+            # seeded shuffle before truncation: class-sorted folder
+            # datasets would otherwise contribute only their first
+            # classes to the reference statistics
+            order = np.random.RandomState(2020).permutation(len(dataset))
+            imgs = np.stack([dataset[int(i)][0] for i in order[:take]])
             if imgs.shape[-1] == 1:  # grayscale -> RGB for the extractor
                 imgs = np.repeat(imgs, 3, axis=-1)
             return imgs
@@ -289,14 +312,14 @@ def run_train(cfg) -> None:
                 state, metrics = stepk_fn(state, real, labels)
             else:
                 state, metrics = stepk_fn(state, real)
+            step += spc
             # double-buffer: start the next chunk's host->device copy
             # while the K steps execute (the tunnel transfer otherwise
-            # serialises with compute — measured 4s vs ~1.3s per chunk
-            # on the fgan128 config); the metric pull below is what
-            # blocks on completion
-            pending = fetch_put()
+            # serialises with compute — measured 4s vs ~1s per chunk on
+            # the fgan128 config); the metric pull below is what blocks
+            # on completion. Skip past the end of training.
+            pending = fetch_put() if step < t.num_total_steps else None
             metrics = {k: v[-1] for k, v in metrics.items()}
-            step += spc
             pbar.update(spc)
         else:
             real, labels = pending if pending is not None else fetch_put()
@@ -304,8 +327,8 @@ def run_train(cfg) -> None:
                 state, metrics = step_fn(state, real, labels)
             else:
                 state, metrics = step_fn(state, real)
-            pending = fetch_put()
             step += 1
+            pending = fetch_put() if step < t.num_total_steps else None
             pbar.update(1)
 
         if step % cfg.log.log_every == 0:
@@ -415,6 +438,10 @@ def run_train(cfg) -> None:
 
     if profiling:  # requested window ran into the end of training
         _stop_profiler()
+    if cfg.log.checkpoint and step % t.num_epoch_steps != 0:
+        # final save when the total isn't a multiple of the eval cadence
+        # — otherwise the trailing steps would be lost on resume
+        save_checkpoint(jax.device_get(state), ckpt_dir, step)
     pbar.close()
     logger.close()
     if cfg.log.loss_csv and os.path.exists(logger.csv_path):
@@ -439,7 +466,6 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
     import jax
     import jax.numpy as jnp
 
-    from .models import to_uint8
     from .train import GANTrainer
     from .train.checkpoint import restore_latest
     from .utils.logging import save_image_grid
@@ -480,6 +506,12 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
     else:
         ckpt_dir = os.path.join(cfg.log.dir_logs, "checkpoints")
         state, step = restore_latest(state, ckpt_dir)
+        if step == 0:
+            raise SystemExit(
+                f"sample: no checkpoint found under {ckpt_dir} — sampling "
+                f"would emit noise from random weights. Point -o at a run "
+                f"directory with checkpoints/, or pass --torch_checkpoint."
+            )
         print(f"INFO: sampling from step {step}")
 
     z = jax.random.normal(jax.random.PRNGKey(7), (num_samples, cfg.model.z_size))
@@ -489,10 +521,23 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
             1, num_samples // cfg.model.num_classes
         )
         labels = jnp.clip(labels, 0, cfg.model.num_classes - 1)
-        imgs = trainer.generate(state, z, labels, uint8=True)
     else:
         labels = None
-        imgs = trainer.generate(state, z, uint8=True)
+    # chunked generation: one unbatched forward over a large
+    # --num_samples would hold the whole ladder's activations at once
+    chunk = 64
+    parts = []
+    for i in range(0, num_samples, chunk):
+        zi = z[i : i + chunk]
+        yi = labels[i : i + chunk] if labels is not None else None
+        parts.append(
+            np.asarray(
+                trainer.generate(state, zi, yi, uint8=True)
+                if yi is not None
+                else trainer.generate(state, zi, uint8=True)
+            )
+        )
+    imgs = np.concatenate(parts, axis=0)
     out = os.path.join(cfg.log.dir_logs, f"samples_{step:06d}.png")
     save_image_grid(np.asarray(imgs), out)
     print(f"saved {out}")
@@ -558,13 +603,44 @@ def _resolve_fidelity_input(spec: str, args):
             spec, args.samples_find_ext, args.samples_find_deep,
             resize_and_crop=args.samples_resize_and_crop,
             shuffle_seed=(None if args.no_samples_shuffle else args.rng_seed),
+            limit=max(
+                args.input1_model_num_samples, args.input2_model_num_samples
+            ),
         )
+    # '<dataset>-<size>' names resolve through the dataset factory
+    # (reference registry builtins like 'cifar10-train',
+    # torch_fidelity/registry.py:143-170): e.g. 'shapes-32',
+    # 'cifar10-32' with --datasets-root pointing at the data
+    import re as _re
+
+    m = _re.fullmatch(r"([a-z0-9_]+)-(\d+)", spec)
+    if m:
+        from .data import load_dataset
+
+        try:
+            ds = load_dataset(
+                m.group(1), args.datasets_root, int(m.group(2)), 3
+            )
+        except (KeyError, FileNotFoundError) as e:
+            raise SystemExit(
+                f"fidelity: cannot resolve input '{spec}' "
+                f"(dataset lookup failed: {e})"
+            )
+        take = min(
+            len(ds),
+            max(args.input1_model_num_samples, args.input2_model_num_samples),
+        )
+        order = np.random.RandomState(args.rng_seed).permutation(len(ds))
+        imgs = np.stack([ds[int(i)][0] for i in order[:take]])
+        if imgs.shape[-1] == 1:
+            imgs = np.repeat(imgs, 3, axis=-1)
+        return imgs
     raise SystemExit(f"fidelity: cannot resolve input '{spec}'")
 
 
 def _load_images_dir(path: str, exts: str, deep: bool,
                      resize_and_crop: int = 0,
-                     shuffle_seed=None):
+                     shuffle_seed=None, limit: Optional[int] = None):
     """Directory-of-samples input (reference glob_samples_paths,
     torch_fidelity/utils.py:36-66). ``resize_and_crop``: short-side
     resize + center crop to NxN (the reference's
@@ -590,6 +666,10 @@ def _load_images_dir(path: str, exts: str, deep: bool,
         import numpy as _np
 
         _np.random.RandomState(shuffle_seed).shuffle(files)
+    if limit is not None:
+        # decode only what the metrics can use — a 100k-image directory
+        # would otherwise be materialised in host RAM before truncation
+        files = files[:limit]
 
     def load(f):
         img = Image.open(f).convert("RGB")
@@ -642,6 +722,11 @@ def _generative_model_from_run_dir(run_dir: str, args):
     state, step = restore_latest(
         state, os.path.join(run_dir, "checkpoints")
     )
+    if step == 0:
+        raise SystemExit(
+            f"fidelity: no checkpoint under {run_dir}/checkpoints — "
+            f"metrics of random weights would be reported as the run's"
+        )
     print(f"fidelity: loaded generator at step {step} from {run_dir}",
           file=sys.stderr)
     gen = jax.jit(
@@ -729,6 +814,9 @@ def build_fidelity_parser():
                    help="model preset for run-dir (generator) inputs")
     p.add_argument("--set", action="append", default=[],
                    help="config overrides for run-dir inputs")
+    p.add_argument("--datasets-root", default="./data",
+                   help="data dir for '<dataset>-<size>' inputs "
+                        "(reference --datasets-root)")
     return p
 
 
@@ -815,6 +903,13 @@ def main(argv: Optional[list] = None) -> None:
     from .utils.config import parse_cli
 
     command, cfg, extras = parse_cli(argv)
+    if command == "fidelity":
+        # flags-before-positional ordering lands here; the fidelity
+        # surface has its own parser and must come first
+        raise SystemExit(
+            "fidelity: put the command first — "
+            "ffc_tpu fidelity <input1> [input2] [flags]"
+        )
     print("Configuration:\n" + cfg.to_json())
     if command == "train":
         run_train(cfg)
