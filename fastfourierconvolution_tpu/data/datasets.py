@@ -93,7 +93,9 @@ class ShapesDataset(ArrayDataset):
                 )
                 mask = np.clip(h + v, 0, 1)
             img = img * (1 - mask[..., None]) + color[None, None] * mask[..., None]
-            images[i] = (img * 255).astype(np.uint8)
+            # diagonal gradients overshoot [0,1] (t up to (sqrt(2)+1)/2);
+            # clip so the uint8 cast saturates instead of wrapping
+            images[i] = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
         super().__init__(images, labels)
 
 
@@ -131,12 +133,19 @@ def load_mnist(data_dir: str, split: str = "train") -> ArrayDataset:
     lbl_name = (
         "train-labels-idx1-ubyte" if split == "train" else "t10k-labels-idx1-ubyte"
     )
-    img_path = _find(data_dir, [img_name, os.path.join("MNIST/raw", img_name)])
-    lbl_path = _find(data_dir, [lbl_name, os.path.join("MNIST/raw", lbl_name)])
+    # torchvision-style layouts for both datasets sharing this reader
+    subdirs = ("MNIST/raw", "FashionMNIST/raw")
+    img_path = _find(
+        data_dir, [img_name] + [os.path.join(s, img_name) for s in subdirs]
+    )
+    lbl_path = _find(
+        data_dir, [lbl_name] + [os.path.join(s, lbl_name) for s in subdirs]
+    )
     if img_path is None or lbl_path is None:
         raise FileNotFoundError(
-            f"MNIST idx files not found under {data_dir} "
-            f"(expected {img_name}[.gz] / {lbl_name}[.gz])"
+            f"MNIST/FashionMNIST idx files not found under {data_dir} "
+            f"(expected {img_name}[.gz] / {lbl_name}[.gz], optionally "
+            f"inside MNIST/raw or FashionMNIST/raw)"
         )
     with _open_maybe_gz(img_path) as f:
         magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
@@ -283,8 +292,12 @@ class TarImageDataset:
         if not members:
             raise FileNotFoundError(f"no images in tar {tar_path}")
         self.members = members
-        tops = sorted({m.name.split("/")[0] for m in members})
-        multi = len(tops) > 1
+        # labels come from top-level FOLDER names; a flat tar (files at
+        # the archive root, no '/') is single-class like the flat
+        # ImageFolderDataset case — without the check every root file
+        # would become its own class
+        tops = sorted({m.name.split("/")[0] for m in members if "/" in m.name})
+        multi = len(tops) > 1 and all("/" in m.name for m in members)
         self.class_to_idx = {t: i for i, t in enumerate(tops)} if multi else {}
         self.labels = [
             self.class_to_idx.get(m.name.split("/")[0], 0) for m in members
@@ -590,7 +603,7 @@ def load_dataset(
         base = ShapesDataset(size=image_size, channels=channels)
     elif lname in _LOADERS:
         base = _LOADERS[lname](data_dir, split=split)
-    elif lname == "tar" or name.endswith(".tar"):
+    elif lname == "tar" or lname.endswith(".tar"):
         path = name if name.endswith(".tar") else data_dir
         base = TarImageDataset(path, channels=channels)
     elif lname in ("local", "folder", "local_dataset"):

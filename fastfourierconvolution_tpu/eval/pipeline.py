@@ -66,8 +66,12 @@ def _draw_noise(rng: jax.Array, n: int, z_size: int, z_type: str) -> jax.Array:
     if z_type == "normal":
         return jax.random.normal(rng, (n, z_size))
     if z_type == "unit":
-        u = jax.random.normal(rng, (n, z_size))
-        return u / jnp.linalg.norm(u, axis=1, keepdims=True)
+        # normalized UNIFORM noise (reference noise.py random_unit —
+        # not normalized gaussian)
+        u = jax.random.uniform(rng, (n, z_size))
+        return u / jnp.maximum(
+            jnp.linalg.norm(u, axis=1, keepdims=True), 1e-7
+        )
     if z_type == "uniform_0_1":
         return jax.random.uniform(rng, (n, z_size))
     raise ValueError(f"unknown z_type {z_type}")

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lpips import create_lpips
 from .pipeline import GenerativeModel
 
 KEY_PPL_MEAN = "perceptual_path_length_mean"
@@ -32,8 +31,10 @@ def sample_random(rng: np.random.RandomState, shape, z_type: str) -> np.ndarray:
     if z_type == "normal":
         return rng.randn(*shape).astype(np.float32)
     if z_type == "unit":
+        # normalized UNIFORM noise (reference noise.py random_unit)
         v = rng.rand(*shape).astype(np.float32)
-        return np.asarray(_normalize_last(jnp.asarray(v)))
+        n = np.sqrt(np.sum(v**2, axis=-1, keepdims=True))
+        return v / np.maximum(n, 1e-7)
     if z_type == "uniform_0_1":
         return rng.rand(*shape).astype(np.float32)
     raise ValueError(z_type)
@@ -94,6 +95,7 @@ def calculate_ppl(
     ppl_sample_similarity, metric_ppl.py:68-74).
     """
     assert epsilon > 0
+    assert reduction in ("mean", "none"), reduction
     rng = np.random.RandomState(rng_seed)
     lat_e0 = sample_random(rng, (num_samples, model.z_size), model.z_type)
     lat_e1 = sample_random(rng, (num_samples, model.z_size), model.z_type)
