@@ -76,6 +76,9 @@ def run_train(cfg) -> None:
         aw_method=t.aw_method,
         update_order=t.update_order,
         remat=t.remat,
+        # the library-path conditional D takes training progress for its
+        # decaying input noise (reference train_cond.py threads epoch)
+        d_progress_arg=cfg.model.discriminator == "cond_dcgan",
     )
 
     dataset = load_dataset(

@@ -15,7 +15,7 @@ Covers both reference families:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -61,6 +61,10 @@ class FFCCondGenerator(nn.Module):
     out_channels: int = 3
     stem: str = "convt"
     cond_bn: bool = True
+    # per-block norm of the hidden up-blocks: the script-path models use
+    # (conditional) BN; the library-path ffc_cond_generator.py leaves
+    # FFC_BN_ACT's norm_layer at nn.Identity — select "identity" there
+    block_norm: str = "batch"
     impl: Optional[str] = None
 
     @nn.compact
@@ -108,7 +112,7 @@ class FFCCondGenerator(nn.Module):
                 ratio_gout=self.ratio_g,
                 stride=2,
                 padding=1,
-                norm="batch",
+                norm=self.block_norm,
                 activation="gelu",
                 upsampling=True,
                 num_classes=nclass,
@@ -151,6 +155,11 @@ class FFCCondGenerator(nn.Module):
             # fgan128_cond_complete textures 128px
             "tex128": dict(stem="convt", cond_bn=False, mg=4,
                            channel_mults=(4, 2, 1, 1, 1)),
+            # library path (models/conditional/ffc_cond_generator.py):
+            # no per-block norm, no conditional BN
+            "library64": dict(stem="convt", cond_bn=False, mg=4,
+                              block_norm="identity",
+                              channel_mults=(4, 2, 1, 1)),
         }
         cfg = dict(presets[preset])
         cfg.update(kw)
@@ -165,7 +174,6 @@ class CondSNDiscriminator(nn.Module):
 
     num_classes: int = 10
     resolution: int = 32
-    mg: int = 4
     use_noise: bool = False
     noise_stddev: float = 0.05
 
@@ -174,13 +182,21 @@ class CondSNDiscriminator(nn.Module):
         self, x: jax.Array, train: bool, y: jax.Array
     ) -> jax.Array:
         b, h, w, _ = x.shape
+        # input noise regularises the IMAGE only — applied before the
+        # label plane concat (every reference variant noises the image
+        # pre-concat, e.g. cond_discriminator.py input path)
+        if self.use_noise:
+            x = GaussianNoise(self.noise_stddev)(x, train)
         y = y.reshape(-1).astype(jnp.int32)
         tbl = _embed(self.num_classes, h * w, "label_embed", self)
         plane = tbl[y].reshape(b, h, w, 1)
         x = jnp.concatenate([x, plane], axis=-1)
-        if self.use_noise:
-            x = GaussianNoise(self.noise_stddev)(x, train)
         base = {48: 32, 96: 64}.get(self.resolution, self.resolution)
+        if base not in _D_LADDERS:
+            raise ValueError(
+                f"cond_sn_conv discriminator has no ladder for resolution "
+                f"{self.resolution}; supported: {sorted(_D_LADDERS)} (+48/96)"
+            )
         for i, (feat, k, s) in enumerate(_D_LADDERS[base]):
             x = SNConv2d(feat, k, stride=s, padding=1, name=f"conv{i}")(
                 x, train
@@ -197,7 +213,6 @@ class FFCCondDiscriminator(nn.Module):
     g->0), SN linear head."""
 
     num_classes: int = 10
-    mg: int = 4
     ratio_g: float = 0.25
     noise_stddev: float = 0.05
     impl: Optional[str] = None
@@ -322,14 +337,15 @@ class CondDCGANDiscriminator(nn.Module):
             m = 2**itr
             if self.use_sn:
                 x = SNConv2d(self.ndf * m * 2, 4, stride=2, padding=1,
-                             name=f"conv{itr}")(x, train)
+                             use_bias=False, name=f"conv{itr}")(x, train)
             else:
                 x = Conv2d(self.ndf * m * 2, 4, stride=2, padding=1,
                            name=f"conv{itr}")(x)
                 x = BatchNorm(name=f"bn{itr}")(x, train)
             x = nn.leaky_relu(x, negative_slope=0.2)
         if self.use_sn:
-            x = SNConv2d(1, 4, stride=1, padding=0, name="head")(x, train)
+            x = SNConv2d(1, 4, stride=1, padding=0, use_bias=False,
+                         name="head")(x, train)
         else:
             x = Conv2d(1, 4, stride=1, padding=0, name="head")(x)
         return nn.sigmoid(x.reshape(b, 1))
@@ -378,7 +394,9 @@ class FFCCondDCGANDiscriminator(nn.Module):
                 ratio_gout=0.5,
                 stride=2,
                 padding=1,
-                norm="batch",
+                # reference ffc_cond_discriminator.py:70 leaves
+                # FFC_BN_ACT's norm_layer at its nn.Identity default
+                norm="identity",
                 activation="gelu",
                 use_sn=self.use_sn,
                 impl=self.impl,

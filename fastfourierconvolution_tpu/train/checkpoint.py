@@ -26,18 +26,28 @@ from flax import serialization
 CKPT_PATTERN = re.compile(r"(\d+)_steps\.ckpt$")
 
 
+def _family_pattern(prefix: str) -> re.Pattern:
+    """Match only ``{prefix}_{N}_steps.ckpt`` — discovery and pruning
+    must never cross prefix families sharing a directory (the reference
+    keeps e.g. netG/netD files side by side, models/ffcmodel.py:66-107)."""
+    return re.compile(rf"^{re.escape(prefix)}_(\d+)_steps\.ckpt$")
+
+
 def checkpoint_path(directory: str, step: int, prefix: str = "ckpt") -> str:
     return os.path.join(directory, f"{prefix}_{step}_steps.ckpt")
 
 
-def get_latest_checkpoint(directory: str) -> Optional[str]:
+def get_latest_checkpoint(
+    directory: str, prefix: str = "ckpt"
+) -> Optional[str]:
     """Newest checkpoint file by step number, or None
     (reference util/save_checkpoints.py:9-33)."""
     if not os.path.isdir(directory):
         return None
+    pat = _family_pattern(prefix)
     best_step, best_path = -1, None
     for name in os.listdir(directory):
-        m = CKPT_PATTERN.search(name)
+        m = pat.match(name)
         if m and int(m.group(1)) > best_step:
             best_step = int(m.group(1))
             best_path = os.path.join(directory, name)
@@ -56,19 +66,27 @@ def save_checkpoint(
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
+        # mkstemp creates 0600; restore umask-governed permissions so
+        # collaborators / metric jobs under other accounts can read it
+        # (plain-open semantics, like the reference's torch.save)
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(tmp, 0o666 & ~umask)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
 
     if keep > 0:
+        pat = _family_pattern(prefix)
         stamped = sorted(
-            (
-                (int(CKPT_PATTERN.search(n).group(1)), n)
-                for n in os.listdir(directory)
-                if CKPT_PATTERN.search(n)
-            ),
+            (int(pat.match(n).group(1)), n)
+            for n in os.listdir(directory)
+            if pat.match(n)
         )
+        # prune only this prefix's family, keeping the newest ``keep``
+        # BY STEP — the just-written file is pruned too if older files
+        # outrank it, but never another family's checkpoints
         for _, name in stamped[:-keep]:
             os.unlink(os.path.join(directory, name))
     return path
@@ -86,10 +104,10 @@ def restore_checkpoint(state_template, path: str):
     return state, int(state.step)
 
 
-def restore_latest(state_template, directory: str):
+def restore_latest(state_template, directory: str, prefix: str = "ckpt"):
     """Resume from the newest checkpoint in ``directory``; returns
     (state, step) or (template, 0) when none exists."""
-    path = get_latest_checkpoint(directory)
+    path = get_latest_checkpoint(directory, prefix)
     if path is None:
         return state_template, 0
     return restore_checkpoint(state_template, path)

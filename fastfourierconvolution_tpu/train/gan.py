@@ -140,11 +140,18 @@ class GANTrainer:
         aw_delta: float = 0.05,
         aw_epsilon: float = 0.05,
         remat: Optional[str] = None,
+        d_progress_arg: bool = False,
     ):
         self.g_model = g_model
         self.d_model = d_model
         self.z_size = z_size
         self.num_dis_updates = num_dis_updates
+        self.total_steps = total_steps
+        # pass training progress (step/total) as the D's 4th argument —
+        # the library-path CondDCGANDiscriminator's decaying input noise
+        # 0.1*0.01**progress needs it (reference cond_discriminator.py
+        # get_noise_decay + train_cond.py threading epoch into forward)
+        self.d_progress_arg = d_progress_arg
         self.conditional = conditional
         self.num_classes = num_classes
         self.loss_name = loss
@@ -226,9 +233,12 @@ class GANTrainer:
         )
         return out, updates
 
-    def _apply_d(self, d_vars, x, train=True, y=None, rng=None):
+    def _apply_d(self, d_vars, x, train=True, y=None, rng=None,
+                 progress=None):
         mutable = [k for k in ("batch_stats", "spectral") if k in d_vars]
         args = (x, train, y) if self.conditional else (x, train)
+        if progress is not None:
+            args = args + (progress,)
         rngs = {"noise": rng} if rng is not None else None
         out, updates = self.d_model.apply(
             d_vars, *args, rngs=rngs, mutable=mutable
@@ -304,26 +314,32 @@ class GANTrainer:
         Jit this (optionally with shardings); it is pure.
         """
         rng = state.rng
+        progress = (
+            state.step.astype(jnp.float32) / float(self.total_steps)
+            if self.d_progress_arg
+            else None
+        )
         if self.update_order == "d_first":
             g_state, d_state, loss_d, rng = self._d_phase(
-                state.g, state.d, rng, real, labels
+                state.g, state.d, rng, real, labels, progress
             )
             g_state, d_state, loss_g, rng = self._g_phase(
-                g_state, d_state, rng, real.shape[0], labels
+                g_state, d_state, rng, real.shape[0], labels, progress
             )
         else:
             g_state, d_state, loss_g, rng = self._g_phase(
-                state.g, state.d, rng, real.shape[0], labels
+                state.g, state.d, rng, real.shape[0], labels, progress
             )
             g_state, d_state, loss_d, rng = self._d_phase(
-                g_state, d_state, rng, real, labels
+                g_state, d_state, rng, real, labels, progress
             )
         new_state = GANState(
             step=state.step + 1, g=g_state, d=d_state, rng=rng
         )
         return new_state, {"loss_g": loss_g, "loss_d": loss_d}
 
-    def _g_phase(self, g_in: NetState, d_in: NetState, rng, b, labels):
+    def _g_phase(self, g_in: NetState, d_in: NetState, rng, b, labels,
+                 progress=None):
         """One generator update (also advances D's aux collections from
         its forward on the fakes, like torch's in-place buffers)."""
         rng, z_rng, noise_rng, d_noise_rng = jax.random.split(rng, 4)
@@ -339,7 +355,7 @@ class GANTrainer:
             g_vars["params"] = g_params
             fake, g_updates = apply_g(g_vars, z, noise_rng, True, labels)
             logits, d_updates = apply_d(
-                d_vars, fake, True, labels, d_noise_rng
+                d_vars, fake, True, labels, d_noise_rng, progress
             )
             return self.gen_loss(logits), (g_updates, d_updates)
 
@@ -366,7 +382,7 @@ class GANTrainer:
         return g_state, d_state, loss_g, rng
 
     def _d_phase(self, g_state: NetState, d_state: NetState, rng, real,
-                 labels):
+                 labels, progress=None):
         """num_dis_updates discriminator updates on fakes from the
         current generator (G's aux collections advance per forward)."""
         b = real.shape[0]
@@ -394,16 +410,16 @@ class GANTrainer:
                         if labels is not None
                         else None
                     )
-                    logits, upd = apply_d(dv, both, True, y2, dn1)
+                    logits, upd = apply_d(dv, both, True, y2, dn1, progress)
                     fake_logits, real_logits = jnp.split(logits, 2, axis=0)
                     loss = self.dis_loss(fake_logits, real_logits)
                 else:
                     fake_logits, upd1 = apply_d(
-                        dv, fake, True, labels, dn1
+                        dv, fake, True, labels, dn1, progress
                     )
                     dv2 = self._merge(dv, upd1)
                     real_logits, upd2 = apply_d(
-                        dv2, real, True, labels, dn2
+                        dv2, real, True, labels, dn2, progress
                     )
                     loss = self.dis_loss(fake_logits, real_logits)
                     upd = self._merge(upd1, upd2)
@@ -414,7 +430,8 @@ class GANTrainer:
                     # remat applies here too — the GP double-backprop is
                     # the dominant activation-memory consumer of this loss
                     def d_of_x(x):
-                        logits, _ = apply_d(dv, x, True, labels, dn1)
+                        logits, _ = apply_d(dv, x, True, labels, dn1,
+                                            progress)
                         return logits
 
                     loss = loss + self.gp_lambda * L.gradient_penalty(
@@ -430,13 +447,15 @@ class GANTrainer:
                 def real_fn(p):
                     dv = dict(d_aux_in)
                     dv["params"] = p
-                    logits, upd = apply_d(dv, real, True, labels, dn2)
+                    logits, upd = apply_d(dv, real, True, labels, dn2,
+                                          progress)
                     return real_term(logits), (logits, upd)
 
                 def fake_fn(p):
                     dv = dict(d_aux_in)
                     dv["params"] = p
-                    logits, upd = apply_d(dv, fake, True, labels, dn1)
+                    logits, upd = apply_d(dv, fake, True, labels, dn1,
+                                          progress)
                     return fake_term(logits), (logits, upd)
 
                 (l_r, (real_logits, upd_r)), g_r = jax.value_and_grad(

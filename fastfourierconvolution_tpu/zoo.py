@@ -59,7 +59,7 @@ def build_discriminator(cfg: Config):
                                                     in_channels=d.channels)
     if m.discriminator == "cond_sn_conv":
         return M.CondSNDiscriminator(
-            num_classes=m.num_classes, resolution=d.image_size, mg=m.mg
+            num_classes=m.num_classes, resolution=d.image_size
         )
     if m.discriminator == "ffc":
         return M.FFCDiscriminator(mg=m.mg, ratio_g=m.ratio_g,
@@ -67,7 +67,7 @@ def build_discriminator(cfg: Config):
                                   impl=m.fourier_impl)
     if m.discriminator == "ffc_cond":
         return M.FFCCondDiscriminator(
-            num_classes=m.num_classes, mg=m.mg, ratio_g=m.ratio_g,
+            num_classes=m.num_classes, ratio_g=m.ratio_g,
             impl=m.fourier_impl,
         )
     if m.discriminator == "dcgan":
@@ -75,8 +75,12 @@ def build_discriminator(cfg: Config):
     if m.discriminator == "sn_dcgan":
         return M.SNDCGANDiscriminator(nc=d.channels, ndf=m.ndf)
     if m.discriminator == "cond_dcgan":
+        # reference train_cond.py:98 builds CondDiscriminator with
+        # uses_sn=False (BN conv ladder), uses_noise=True (decaying
+        # input noise)
         return M.CondDCGANDiscriminator(
-            nc=d.channels, ndf=m.ndf, num_classes=m.num_classes, use_sn=True
+            nc=d.channels, ndf=m.ndf, num_classes=m.num_classes,
+            use_sn=False, use_noise=True,
         )
     if m.discriminator == "ffc_cond_dcgan":
         return M.FFCCondDCGANDiscriminator(

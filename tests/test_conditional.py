@@ -1,5 +1,7 @@
 """Conditional model tests: shapes, conditioning effects, cond train step."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,7 +76,7 @@ def test_labels_change_generator_output():
 
 
 def test_cond_sn_discriminator():
-    d = CondSNDiscriminator(num_classes=10, resolution=32, mg=4)
+    d = CondSNDiscriminator(num_classes=10, resolution=32)
     x = jax.random.normal(jax.random.PRNGKey(4), (4, 32, 32, 3))
     y = jnp.asarray([0, 1, 2, 3])
     out, _ = _apply(d, x, True, y)
@@ -82,7 +84,7 @@ def test_cond_sn_discriminator():
 
 
 def test_ffc_cond_discriminator():
-    d = FFCCondDiscriminator(num_classes=10, mg=4)
+    d = FFCCondDiscriminator(num_classes=10)
     x = jax.random.normal(jax.random.PRNGKey(4), (4, 32, 32, 3))
     y = jnp.asarray([0, 1, 2, 3])
     out, _ = _apply(d, x, True, y)
@@ -112,7 +114,7 @@ def test_ffc_cond_dcgan_discriminator_64():
 def test_conditional_train_step():
     g = FFCCondGenerator(z_size=16, ngf=16, num_classes=10, mg=4,
                          channel_mults=(2, 1))
-    d = CondSNDiscriminator(num_classes=10, resolution=16, mg=4)
+    d = CondSNDiscriminator(num_classes=10, resolution=16)
     # resolution 16 not in ladder table; use explicit tiny D instead
     from fastfourierconvolution_tpu.models import SNConvDiscriminator
 
@@ -158,3 +160,50 @@ class CondSNDiscriminatorTiny(CondSNDiscriminator):
             x = SNConv2d(feat, k, stride=s, padding=1, name=f"conv{i}")(x, train)
             x = fnn.leaky_relu(x, negative_slope=0.1)
         return SNDense(1, name="fc")(x.reshape(b, -1), train)
+
+
+def test_cond_dcgan_noise_decays_with_progress():
+    """The library-path D's input noise is 0.1*0.01**progress
+    (reference cond_discriminator.py get_noise_decay): at progress ~inf
+    the noise vanishes and the output matches the noise-free model."""
+    d_noisy = CondDCGANDiscriminator(nc=3, ndf=32, num_classes=10,
+                                     use_noise=True)
+    d_clean = CondDCGANDiscriminator(nc=3, ndf=32, num_classes=10,
+                                     use_noise=False)
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)))
+    y = jnp.asarray([1, 2])
+    variables = d_clean.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        x, True, y,
+    )
+    base = d_clean.apply(variables, x, True, y,
+                         rngs={"noise": jax.random.PRNGKey(3)},
+                         mutable=["batch_stats"])[0]
+    far = d_noisy.apply(variables, x, True, y, 100.0,
+                        rngs={"noise": jax.random.PRNGKey(3)},
+                        mutable=["batch_stats"])[0]
+    near = d_noisy.apply(variables, x, True, y, 0.0,
+                         rngs={"noise": jax.random.PRNGKey(3)},
+                         mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(far), np.asarray(base), atol=1e-6)
+    assert not np.allclose(np.asarray(near), np.asarray(base), atol=1e-6)
+
+
+def test_checkpoint_prefix_families_isolated(tmp_path):
+    """Pruning and discovery are per-prefix: saving one family must
+    never delete or shadow another's checkpoints in the same dir."""
+    from fastfourierconvolution_tpu.train.checkpoint import (
+        get_latest_checkpoint,
+        save_checkpoint,
+    )
+
+    d = str(tmp_path)
+    save_checkpoint({"v": np.zeros(2)}, d, 500, prefix="netG", keep=1)
+    save_checkpoint({"v": np.zeros(2)}, d, 1000, prefix="netD", keep=1)
+    save_checkpoint({"v": np.zeros(2)}, d, 2000, prefix="netD", keep=1)
+    names = sorted(os.listdir(d))
+    assert "netG_500_steps.ckpt" in names
+    assert "netD_2000_steps.ckpt" in names
+    assert "netD_1000_steps.ckpt" not in names  # pruned within family
+    assert get_latest_checkpoint(d, "netG").endswith("netG_500_steps.ckpt")
+    assert get_latest_checkpoint(d, "netD").endswith("netD_2000_steps.ckpt")
