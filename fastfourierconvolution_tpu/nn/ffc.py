@@ -181,6 +181,13 @@ class SpectralTransform(nn.Module):
             # here the flag actually works (default off for parity).
             c = x.shape[-1]
             split = 2
+            assert c % 4 == 0, (
+                f"enable_lfu needs the bottleneck channel count ({c}) "
+                f"divisible by 4"
+            )
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, (
+                f"enable_lfu needs even spatial dims, got {x.shape[1:3]}"
+            )
             xs = x[..., : c // 4]
             xs = jnp.concatenate(jnp.split(xs, split, axis=1), axis=-1)
             xs = jnp.concatenate(jnp.split(xs, split, axis=2), axis=-1)
@@ -225,6 +232,11 @@ class FFC(nn.Module):
             if cin == 0 or cout == 0:
                 return None
             if self.use_sn:
+                # SNConv2d carries no dilation/groups — refuse rather
+                # than silently training a different function
+                assert self.dilation == 1 and self.groups == 1, (
+                    "use_sn=True supports dilation=1, groups=1 only"
+                )
                 return SNConv2d(
                     cout,
                     self.kernel_size,

@@ -77,7 +77,7 @@ class ConditionalBatchNorm(nn.Module):
             dtype=jnp.float32,
         )(x.astype(jnp.float32))
         gamma_tbl = self.param(
-            "gamma", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (self.num_classes, c)
+            "gamma", bn_scale_init, (self.num_classes, c)
         )
         beta_tbl = self.param("beta", nn.initializers.zeros, (self.num_classes, c))
         y = y.reshape(-1).astype(jnp.int32)
@@ -133,7 +133,8 @@ class SNDense(nn.Module, _SpectralMixin):
         kernel = self._apply_sn(kernel, train)
         y = cast_compute(x) @ cast_compute(kernel)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -156,7 +157,8 @@ class SNConv2d(nn.Module, _SpectralMixin):
         kernel = self._apply_sn(kernel, train)
         y = conv_ops.conv2d(x, kernel, stride=self.stride, padding=self.padding)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -189,7 +191,8 @@ class Conv2d(nn.Module):
             groups=self.groups,
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -224,7 +227,8 @@ class ConvTranspose2d(nn.Module):
             groups=self.groups,
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -244,10 +248,30 @@ class SNConvTranspose2d(nn.Module, _SpectralMixin):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         k = self.kernel_size
+        cin = x.shape[-1]
         kernel = self.param(
-            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
+            "kernel", self.kernel_init, (k, k, cin, self.features)
         )
-        kernel = self._apply_sn(kernel, train)
+        # torch stores ConvTranspose2d weights as (in, out, kh, kw) and
+        # spectral_norm's default dim=0 matricizes with rows = INPUT
+        # channels (reference sagan/spectral.py:23 w.view(height, -1));
+        # the (out, -1) view has a different largest singular value, so
+        # use the input-rows matricization here
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: _sn_u_init(self.make_rng("params"), cin),
+        )
+        # spectral_normalize matricizes with rows = LAST dim, so hand it
+        # the (out*kh*kw, cin) orientation to make rows = cin
+        w_t = kernel.transpose(2, 3, 0, 1).reshape(cin, -1).T
+        w_norm_t, u_new = sn_ops.spectral_normalize(
+            w_t, u_var.value, update=train
+        )
+        if train and not self.is_initializing():
+            u_var.value = u_new
+        kernel = w_norm_t.T.reshape(
+            cin, self.features, k, k
+        ).transpose(2, 3, 0, 1)
         y = conv_ops.conv_transpose2d(
             x,
             kernel,
@@ -256,7 +280,8 @@ class SNConvTranspose2d(nn.Module, _SpectralMixin):
             output_padding=self.output_padding,
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -293,7 +318,7 @@ class GaussianNoise(nn.Module):
         if not train or self.stddev == 0.0:
             return x
         noise = self.stddev * jax.random.normal(
-            self.make_rng("noise"), x.shape
+            self.make_rng("noise"), x.shape, dtype=x.dtype
         )
         return x + noise
 
@@ -331,7 +356,7 @@ class SelfAttention(nn.Module):
         ).astype(x.dtype)
         out = out.reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, ())
-        return gamma * out + x, attn
+        return gamma.astype(x.dtype) * out + x, attn
 
 
 class SELayer(nn.Module):

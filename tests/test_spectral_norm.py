@@ -53,3 +53,45 @@ def test_eval_mode_does_not_update_u():
     u = u / jnp.linalg.norm(u)
     _, u_after = sn.spectral_normalize(w, u, update=False)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_after))
+
+
+def test_sn_conv_transpose_uses_input_rows_matricization():
+    """torch spectral_norm on ConvTranspose2d matricizes the (in, out,
+    kh, kw) weight with rows = INPUT channels (dim=0; the SAGAN manual
+    SpectralNorm's w.view(height, -1) likewise). After the power
+    iteration converges, the layer must normalise by the largest
+    singular value of that unfolding — not the (out, ...) one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fastfourierconvolution_tpu.nn.layers import SNConvTranspose2d
+    from fastfourierconvolution_tpu.ops.conv import conv_transpose2d
+
+    cin, cout, k = 6, 5, 3
+    layer = SNConvTranspose2d(cout, k, stride=2, padding=1,
+                              output_padding=1, use_bias=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, cin))
+    variables = layer.init({"params": jax.random.PRNGKey(1)}, x, True)
+    w = np.asarray(variables["params"]["kernel"])  # HWIO
+
+    # converge u with repeated train-mode applies
+    vs = variables
+    for _ in range(100):
+        _, upd = layer.apply(vs, x, True, mutable=["spectral"])
+        vs = {"params": vs["params"], **upd}
+
+    out = layer.apply(vs, x, False)
+
+    in_rows = w.transpose(2, 3, 0, 1).reshape(cin, -1)   # (in, out*k*k)
+    out_rows = w.transpose(3, 0, 1, 2).reshape(cout, -1)  # (out, kh*kw*in)
+    sigma_in = np.linalg.svd(in_rows, compute_uv=False)[0]
+    sigma_out = np.linalg.svd(out_rows, compute_uv=False)[0]
+    assert abs(sigma_in - sigma_out) > 1e-4, "unfoldings degenerate; reseed"
+
+    expected = conv_transpose2d(
+        jnp.asarray(x), jnp.asarray(w / sigma_in), stride=2, padding=1,
+        output_padding=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=1e-4, rtol=1e-4
+    )
