@@ -90,10 +90,16 @@ class FourierUnit(nn.Module):
         c2 = 2 * self.channels
         kernel = self.param("mix_kernel", conv_init, (c2, c2))
 
+        from ..ops.fourier import resolve_impl
+
+        # NOTE: this choice shapes the parameter tree (the fused path
+        # owns mix/bn params directly; the fft path builds a BatchNorm
+        # submodule), so impl / set_default_impl must be identical
+        # between init, apply, and any checkpoint being restored.
         use_fused = (
             self.fused
             and not (self.num_classes > 1 and y is not None)
-            and self.impl != "fft"
+            and resolve_impl(self.impl) != "fft"
         )
         if use_fused:
             # Single op: DFT -> mix -> BN -> ReLU -> iDFT with a

@@ -18,6 +18,7 @@ from .fourier import (  # noqa: F401
     irfft2_ortho,
     rfft2_ortho,
     set_default_impl,
+    set_dft_precision,
     spectral_channel_mix,
 )
 from .spectral_norm import power_iteration, spectral_normalize  # noqa: F401

@@ -70,6 +70,9 @@ def set_default_impl(impl: Impl) -> None:
 def resolve_impl(impl: Impl | None = None) -> str:
     """Resolve "auto" to a concrete implementation for the default backend."""
     impl = impl or _DEFAULT_IMPL
+    assert impl in ("fft", "dft", "auto"), (
+        f"unknown fourier impl {impl!r} (want 'fft' | 'dft' | 'auto')"
+    )
     if impl != "auto":
         return impl
     # On TPU the MXU matmul formulation wins for the sizes we target;
@@ -154,7 +157,12 @@ def rfft2_ortho(
     """
     h, w = x.shape[-3], x.shape[-2]
     if resolve_impl(impl) == "fft":
-        dt = x.dtype
+        # computed in f32 (jnp.fft has no bf16 kernels) but emitted in
+        # the policy dtype so both impls hand downstream ops the same
+        # dtypes regardless of which one resolves
+        from ..utils.policy import compute_dtype as _cd
+
+        dt = _cd()
         f = jnp.fft.rfft2(
             x.astype(jnp.float32), axes=(-3, -2), norm="ortho"
         )
@@ -193,7 +201,9 @@ def irfft2_ortho(
     """
     h, w = s
     if resolve_impl(impl) == "fft":
-        dt = f_r.dtype
+        from ..utils.policy import compute_dtype as _cd
+
+        dt = _cd()  # dtype parity with the dft path (see rfft2_ortho)
         f = jax.lax.complex(
             f_r.astype(jnp.float32), f_i.astype(jnp.float32)
         )
@@ -231,7 +241,14 @@ def spectral_channel_mix(
     """
     c = f_r.shape[-1]
     z = jnp.concatenate([f_r, f_i], axis=-1)  # (N, H, Wf, 2C)
+    # same precision tier as the transforms: full f32 for f32 operands
+    # (the 1x1-conv-equivalence contract), single bf16 pass otherwise
+    prec = (
+        _DFT_PRECISION if z.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     z = jnp.einsum(
-        "nhvc,cd->nhvd", z, kernel, preferred_element_type=jnp.float32
+        "nhvc,cd->nhvd", z, kernel,
+        precision=prec, preferred_element_type=jnp.float32,
     )
     return z[..., :c], z[..., c:]

@@ -37,7 +37,13 @@ def make_mesh(
     """Build a (dp, tp) mesh. Defaults: all devices on the data axis."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        assert n_tensor >= 1 and len(devices) % n_tensor == 0, (
+            f"n_tensor={n_tensor} must divide the device count "
+            f"({len(devices)}) — a floor division would silently drop "
+            f"devices from the mesh"
+        )
         n_data = len(devices) // n_tensor
+    assert n_data >= 1 and n_tensor >= 1, (n_data, n_tensor)
     assert n_data * n_tensor <= len(devices), (
         f"mesh {n_data}x{n_tensor} needs {n_data * n_tensor} devices, "
         f"have {len(devices)}"
@@ -95,8 +101,7 @@ def params_shardings(mesh: Mesh, params) -> object:
         )
         for pattern, spec in _TP_RULES:
             if re.match(pattern, name):
-                # check divisibility; fall back to replication otherwise
-                return spec
+                            return spec
         return P()
 
     def shard_one(path, leaf):

@@ -6,6 +6,12 @@ One process-wide compute dtype for activations and matmul/conv operands
 spectral transforms inherit the policy (documented ~1e-2 relative
 transform error in bf16 — irrelevant to GAN training quality, which is
 why bf16 is the recommended training setting; numerics tests pin f32).
+
+The policy is read at TRACE time: set it before jitting (the driver does,
+cli.run_train). Changing it afterwards does not affect functions already
+traced for a given input signature — jax caches the traced computation,
+so a stale-policy trace is silently reused. Re-jit (or change input
+shapes/dtypes) after flipping the policy.
 """
 
 from __future__ import annotations
