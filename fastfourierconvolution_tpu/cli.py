@@ -262,6 +262,20 @@ def run_train(cfg) -> None:
         cfg.eval.leading_metric.upper(), _LEADING["ISC"]
     )
     best_metric = None
+    # label weights-free metric mode once: discriminative (shallow-tap
+    # routing, see eval/inception.py) but NOT comparable to published
+    # FID/ISC numbers — best-metric checkpoints carry the same caveat
+    from .eval.inception import weights_available as _inc_weights_ok
+
+    weights_free_metrics = (
+        cfg.eval.isc or cfg.eval.fid or cfg.eval.kid
+    ) and not _inc_weights_ok(cfg.eval.feature_extractor_weights_path)
+    if weights_free_metrics:
+        print(
+            "WARNING: no InceptionV3 weights found — metrics run in "
+            "weights-free shallow-tap mode (relative trends only; not "
+            "comparable to published FID/ISC numbers)"
+        )
     lr_of = lambda s: t.lr * max(0.0, 1.0 - s / t.num_total_steps)
     step = ini_step
     profiling = False
@@ -404,9 +418,14 @@ def run_train(cfg) -> None:
                     )
                     if improved:
                         best_metric = value
+                        tag = (
+                            " [weights-free mode]"
+                            if weights_free_metrics
+                            else ""
+                        )
                         print(
                             f"INFO: best {cfg.eval.leading_metric} so far:"
-                            f" {value:.5g} (step {next_step})"
+                            f" {value:.5g} (step {next_step}){tag}"
                         )
                         if (
                             cfg.log.checkpoint

@@ -54,8 +54,10 @@ class ShapesDataset(ArrayDataset):
     """Procedural structured images: anti-aliased ellipses / rectangles /
     crosses in random colors over smooth gradient backgrounds, label =
     shape class. A zero-egress stand-in with real visual structure so
-    end-to-end GAN runs produce learnable content and meaningful metric
-    trends (unlike uniform noise)."""
+    end-to-end GAN runs produce learnable content. Metric trends on it
+    are meaningful only through the weights-free shallow-tap extractor
+    mode (eval/inception.py docstring) — deep taps under random init
+    are degenerate and rank nothing."""
 
     NUM_CLASSES = 3
 

@@ -14,10 +14,20 @@ used by torch-fidelity for FID/ISC/KID
 Weights: the TF-converted checkpoint cannot be downloaded in this
 environment (zero egress). :func:`load_torch_weights` converts the
 torch-fidelity ``.pth`` state dict to this module's variables whenever a
-local copy exists (weights_path config / $FFC_TPU_INCEPTION_WEIGHTS);
-without weights the randomly initialised network still exercises the
-full metric pipeline (useful for relative comparisons and tests, not for
-published FID numbers — documented divergence).
+local copy exists (weights_path config / $FFC_TPU_INCEPTION_WEIGHTS).
+
+Weights-free fallback (pipeline-test mode): a randomly initialised
+94-conv stack contracts every input to the same point (round-1 verdict:
+FID between two *unrelated* image sets = 4e-8 through the random deep
+taps — the ReLU ordered-phase correlation collapse), so without real
+weights the extractor switches to SHALLOW taps: feature defaults route
+to the '192' tap (5 convs — input separation survives) and
+logits_unbiased is computed from a random projection of the 192-d
+pooled features (``shallow_logits=True``) instead of the collapsed
+2048-d head. This makes weights-free FID/ISC/KID *discriminative*
+(monotone under corruption, tested in tests/test_weights_free_metrics.py)
+though still not comparable to published numbers — that always needs
+the converted TF weights.
 """
 
 from __future__ import annotations
@@ -39,6 +49,15 @@ DEFAULT_FEATURE_LAYER = {
     "fid": "2048",
     "kid": "2048",
     "prc": "2048",
+}
+# Weights-free (random-init) defaults: shallow taps keep input
+# separation; the deep taps are degenerate under random init (see module
+# docstring). logits_unbiased is shallow too via ``shallow_logits``.
+DEFAULT_FEATURE_LAYER_WEIGHTS_FREE = {
+    "isc": "logits_unbiased",
+    "fid": "192",
+    "kid": "192",
+    "prc": "192",
 }
 
 
@@ -207,6 +226,9 @@ class InceptionV3(nn.Module):
     """
 
     features_list: Sequence[str] = ("2048", "logits_unbiased")
+    # weights-free mode: logits from a random projection of the pooled
+    # '192' tap (the deep 2048-d head is degenerate under random init)
+    shallow_logits: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
@@ -235,8 +257,37 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _max_pool(x)
 
-        if "192" in wanted:
-            out["192"] = jnp.mean(x, axis=(1, 2))
+        if "192" in wanted or (
+            self.shallow_logits
+            and ("logits_unbiased" in wanted or "logits" in wanted)
+        ):
+            pooled192 = jnp.mean(x, axis=(1, 2))
+            if "192" in wanted:
+                out["192"] = pooled192
+            if self.shallow_logits and (
+                "logits_unbiased" in wanted or "logits" in wanted
+            ):
+                w = self.param(
+                    "fc192_kernel",
+                    nn.initializers.lecun_normal(),
+                    (192, 1008),
+                )
+                b = self.param(
+                    "fc192_bias", nn.initializers.zeros, (1008,)
+                )
+                # per-image layernorm + gain before the projection: the
+                # raw pooled magnitudes are tiny under random init, so
+                # bare logits give a near-uniform softmax (ISC pinned at
+                # ~1). Normalising per image (a pure per-sample map —
+                # ISC-legal) makes logits ~N(0, gain²) per class, so the
+                # softmax is peaked and varies with image content.
+                mu = jnp.mean(pooled192, axis=-1, keepdims=True)
+                sd = jnp.std(pooled192, axis=-1, keepdims=True) + 1e-8
+                lu = (((pooled192 - mu) / sd) @ w) * 4.0
+                if "logits_unbiased" in wanted:
+                    out["logits_unbiased"] = lu
+                if "logits" in wanted:
+                    out["logits"] = lu + b
             if len(out) == len(wanted):
                 return out
 
@@ -264,6 +315,9 @@ class InceptionV3(nn.Module):
             if len(out) == len(wanted):
                 return out
 
+        assert not self.shallow_logits, (
+            "shallow_logits filled every requested tap already"
+        )
         w = self.param(
             "fc_kernel", nn.initializers.lecun_normal(), (2048, 1008)
         )
@@ -341,15 +395,23 @@ def load_torch_weights(path, features_list=FEATURE_NAMES) -> Dict:
     return {"params": params}
 
 
+def weights_available(weights_path: Optional[str] = None) -> bool:
+    """True when real (converted) InceptionV3 weights will be used."""
+    return (weights_path or find_local_weights()) is not None
+
+
 def create_extractor(
     features_list: Sequence[str] = ("2048", "logits_unbiased"),
     weights_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
 ):
     """Build (module, variables). Loads converted TF-compat weights when
-    available; otherwise random init (pipeline-testing mode)."""
-    module = InceptionV3(features_list=tuple(features_list))
+    available; otherwise random init with ``shallow_logits=True``
+    (discriminative pipeline-test mode — see module docstring)."""
     path = weights_path or find_local_weights()
+    module = InceptionV3(
+        features_list=tuple(features_list), shallow_logits=path is None
+    )
     if path is not None:
         variables = load_torch_weights(path)
     else:

