@@ -301,7 +301,9 @@ class GANTrainer:
     # -- one global step ---------------------------------------------------------
 
     def update_step(
-        self, state: GANState, real: jax.Array, labels: Optional[jax.Array] = None
+        self, state: GANState, real: jax.Array,
+        labels: Optional[jax.Array] = None,
+        zs: Optional[jax.Array] = None,
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
         """One generator update + num_dis_updates discriminator updates.
 
@@ -311,6 +313,11 @@ class GANTrainer:
         (D updates on the current G, then the G update, reference
         train_cond.py:169-220, sagan/trainer.py:107-163).
 
+        ``zs`` (testing hook, shape (1 + num_dis_updates, B, z_size))
+        overrides the per-phase latent draws — zs[0] feeds the G update
+        and zs[1:] the D updates — so A/B parity harnesses can run this
+        trainer in lockstep with the reference loop on shared noise.
+
         Jit this (optionally with shardings); it is pure.
         """
         rng = state.rng
@@ -319,19 +326,21 @@ class GANTrainer:
             if self.d_progress_arg
             else None
         )
+        z_g = zs[0] if zs is not None else None
+        z_d = zs[1:] if zs is not None else None
         if self.update_order == "d_first":
             g_state, d_state, loss_d, rng = self._d_phase(
-                state.g, state.d, rng, real, labels, progress
+                state.g, state.d, rng, real, labels, progress, z_d
             )
             g_state, d_state, loss_g, rng = self._g_phase(
-                g_state, d_state, rng, real.shape[0], labels, progress
+                g_state, d_state, rng, real.shape[0], labels, progress, z_g
             )
         else:
             g_state, d_state, loss_g, rng = self._g_phase(
-                state.g, state.d, rng, real.shape[0], labels, progress
+                state.g, state.d, rng, real.shape[0], labels, progress, z_g
             )
             g_state, d_state, loss_d, rng = self._d_phase(
-                g_state, d_state, rng, real, labels, progress
+                g_state, d_state, rng, real, labels, progress, z_d
             )
         new_state = GANState(
             step=state.step + 1, g=g_state, d=d_state, rng=rng
@@ -339,11 +348,15 @@ class GANTrainer:
         return new_state, {"loss_g": loss_g, "loss_d": loss_d}
 
     def _g_phase(self, g_in: NetState, d_in: NetState, rng, b, labels,
-                 progress=None):
+                 progress=None, z_override=None):
         """One generator update (also advances D's aux collections from
         its forward on the fakes, like torch's in-place buffers)."""
         rng, z_rng, noise_rng, d_noise_rng = jax.random.split(rng, 4)
-        z = jax.random.normal(z_rng, (b, self.z_size))
+        z = (
+            z_override
+            if z_override is not None
+            else jax.random.normal(z_rng, (b, self.z_size))
+        )
         g_aux_in = self._g_vars(g_in)
         d_vars = self._g_vars(d_in)
 
@@ -382,14 +395,18 @@ class GANTrainer:
         return g_state, d_state, loss_g, rng
 
     def _d_phase(self, g_state: NetState, d_state: NetState, rng, real,
-                 labels, progress=None):
+                 labels, progress=None, z_overrides=None):
         """num_dis_updates discriminator updates on fakes from the
         current generator (G's aux collections advance per forward)."""
         b = real.shape[0]
         loss_d = jnp.zeros(())
-        for _ in range(self.num_dis_updates):
+        for d_iter in range(self.num_dis_updates):
             rng, z_rng, noise_rng, dn1, dn2, gp_rng = jax.random.split(rng, 6)
-            z = jax.random.normal(z_rng, (b, self.z_size))
+            z = (
+                z_overrides[d_iter]
+                if z_overrides is not None
+                else jax.random.normal(z_rng, (b, self.z_size))
+            )
             g_vars = self._g_vars(g_state)
             fake, g_updates = self._apply_g(g_vars, z, noise_rng, y=labels)
             fake = jax.lax.stop_gradient(fake)
