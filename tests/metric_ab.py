@@ -1,0 +1,250 @@
+"""End-to-end metric A/B: this framework's ``calculate_metrics`` vs the
+reference torch_fidelity metric pipeline on identical image sets with
+shared seeded extractor weights (VERDICT round 1, missing item 1).
+
+Both sides run the complete chain image -> uint8 contract -> TF1-bilinear
+resize -> InceptionV3 forward -> feature taps -> metric math:
+
+  * ours: ``eval.pipeline.calculate_metrics`` with
+    ``feature_extractor_weights_path`` pointing at a seeded torch state
+    dict (the production converter path, eval/inception.py
+    load_torch_weights);
+  * reference: the vendored torch_fidelity extractor
+    (feature_extractor_inceptionv3.py, executed from /root/reference with
+    the same state dict) batched exactly like its featuresdict loop
+    (reference torch_fidelity/utils.py:114-157), then
+    fid_featuresdict_to_statistics + fid_statistics_to_metric
+    (metric_fid.py:21-67), isc_featuresdict_to_metric (metric_isc.py),
+    kid_featuresdict_to_metric (metric_kid.py) — the fan-out
+    calculate_metrics performs at metrics.py:74-103.
+
+Random-weight deep taps collapse all inputs to a point (VERDICT weak-1),
+which would make the comparison vacuous; the A/B therefore runs on the
+shallow '192' tap, where seeded random weights still separate the two
+input distributions, and additionally records the deep '2048'/logits
+numbers for completeness.
+
+Usage (writes RUNS/parity_ab/metrics_ab.json):
+    JAX_PLATFORMS=cpu python tests/metric_ab.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Dict, Sequence
+from unittest import mock
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import torch_ref  # noqa: E402
+
+
+def make_image_sets(n: int = 256, size: int = 32):
+    """Two genuinely different sets: structured shapes vs uniform noise."""
+    from fastfourierconvolution_tpu.data.datasets import (
+        ShapesDataset,
+        SyntheticDataset,
+    )
+
+    a = ShapesDataset(n=n, size=size, seed=11).images
+    b = SyntheticDataset(n=n, size=size, seed=12).images
+    return a, b
+
+
+def build_seeded_extractor_pth(tmp_dir: str, feats: Sequence[str]):
+    """Reference FeatureExtractorInceptionV3 with seeded random weights;
+    returns (torch module, path of the saved state dict)."""
+    import torch
+
+    inc_mod = torch_ref.import_reference("feature_extractor_inceptionv3")
+    with mock.patch.object(torch, "load", lambda *a, **k: None), \
+         mock.patch.object(
+             torch.nn.Module, "load_state_dict",
+             lambda self, sd, **kw: None,
+         ):
+        ref = inc_mod.FeatureExtractorInceptionV3(
+            "inception-v3-compat", list(feats),
+            feature_extractor_weights_path="unused",
+        )
+    sd = torch_ref.seeded_state_dict(ref, seed=0)
+    ref.load_state_dict(sd)
+    ref.eval()
+    path = os.path.join(tmp_dir, "inception_seeded.pth")
+    torch.save(sd, path)
+    return ref, path
+
+
+def reference_features(ref, images: np.ndarray, feats: Sequence[str],
+                       batch_size: int = 64) -> Dict:
+    """The reference featuresdict extraction loop
+    (torch_fidelity/utils.py:114-157): batched uint8 NCHW forwards,
+    per-tap concatenation."""
+    import torch
+
+    out = {f: [] for f in feats}
+    with torch.no_grad():
+        for i in range(0, len(images), batch_size):
+            batch = torch.from_numpy(
+                images[i:i + batch_size].transpose(0, 3, 1, 2).copy()
+            )
+            taps = ref(batch)
+            for name, tap in zip(feats, taps):
+                out[name].append(tap.cpu())
+    return {k: torch.cat(v, dim=0) for k, v in out.items()}
+
+
+def _exec_region(path: str, start: str, stop: str, ns: Dict) -> Dict:
+    src = open(path).read()
+    exec(src[src.index(start):src.index(stop)], ns)
+    return ns
+
+
+def reference_metric_fns() -> Dict:
+    """The reference metric math, exec'd from source (the module imports
+    pull the full torch_fidelity.utils chain, which needs torchvision/
+    onnx; the math functions themselves are dependency-light)."""
+    import torch
+    from tqdm import tqdm
+
+    defaults = torch_ref.import_reference("defaults")
+
+    def vassert(truecond, message):
+        if not truecond:
+            raise ValueError(message)
+
+    ns = {
+        "np": np,
+        "torch": torch,
+        "tqdm": tqdm,
+        "vprint": lambda verbose, msg: None,
+        "vassert": vassert,
+        "get_kwarg": lambda name, kwargs: kwargs.get(
+            name, defaults.DEFAULTS[name]
+        ),
+        "KEY_METRIC_FID": "frechet_inception_distance",
+        "KEY_METRIC_ISC_MEAN": "inception_score_mean",
+        "KEY_METRIC_ISC_STD": "inception_score_std",
+        "KEY_METRIC_KID_MEAN": "kernel_inception_distance_mean",
+        "KEY_METRIC_KID_STD": "kernel_inception_distance_std",
+    }
+    root = torch_ref.REFERENCE_ROOT + "/torch_fidelity"
+    _exec_region(
+        f"{root}/metric_fid.py",
+        "def fid_features_to_statistics",
+        "def fid_featuresdict_to_statistics_cached",
+        ns,
+    )
+    _exec_region(
+        f"{root}/metric_isc.py",
+        "def isc_features_to_metric",
+        "def isc_featuresdict_to_metric",
+        ns,
+    )
+    _exec_region(
+        f"{root}/metric_kid.py",
+        "def mmd2",
+        "def kid_featuresdict_to_metric",
+        ns,
+    )
+    return ns
+
+
+def reference_metrics(fd1, fd2, layer: str, kid_subsets: int,
+                      kid_subset_size: int) -> Dict[str, float]:
+    """The reference metric fan-out (metrics.py:74-103) on extracted
+    featuresdicts, via the exec'd reference functions."""
+    fns = reference_metric_fns()
+    stat1 = fns["fid_featuresdict_to_statistics"](fd1, layer)
+    stat2 = fns["fid_featuresdict_to_statistics"](fd2, layer)
+    fid = fns["fid_statistics_to_metric"](stat1, stat2, False)[
+        "frechet_inception_distance"
+    ]
+    isc = fns["isc_features_to_metric"](fd1[layer])[
+        "inception_score_mean"
+    ]
+    kid = fns["kid_features_to_metric"](
+        fd1[layer], fd2[layer],
+        kid_subsets=kid_subsets, kid_subset_size=kid_subset_size,
+        verbose=False,
+    )["kernel_inception_distance_mean"]
+    return {"fid": fid, "isc": isc, "kid": kid}
+
+
+def ours_metrics(images1, images2, weights_path: str, layer: str,
+                 kid_subsets: int, kid_subset_size: int,
+                 batch_size: int = 64) -> Dict[str, float]:
+    from fastfourierconvolution_tpu.eval.metrics import (
+        KEY_FID,
+        KEY_ISC_MEAN,
+        KEY_KID_MEAN,
+    )
+    from fastfourierconvolution_tpu.eval.pipeline import calculate_metrics
+
+    out = calculate_metrics(
+        images1,
+        images2,
+        isc=True,
+        fid=True,
+        kid=True,
+        feature_extractor_weights_path=weights_path,
+        feature_layer_isc=layer,
+        feature_layer_fid=layer,
+        feature_layer_kid=layer,
+        batch_size=batch_size,
+        kid_subsets=kid_subsets,
+        kid_subset_size=kid_subset_size,
+        cache=False,
+    )
+    return {
+        "fid": out[KEY_FID],
+        "isc": out[KEY_ISC_MEAN],
+        "kid": out[KEY_KID_MEAN],
+    }
+
+
+def run_metric_ab(tmp_dir: str, n: int = 256, size: int = 32,
+                  layers: Sequence[str] = ("192", "2048"),
+                  kid_subsets: int = 10, kid_subset_size: int = 100) -> Dict:
+    feats = sorted(set(layers) | {"logits_unbiased"})
+    imgs_a, imgs_b = make_image_sets(n, size)
+    ref, pth = build_seeded_extractor_pth(tmp_dir, feats)
+    fd_a = reference_features(ref, imgs_a, feats)
+    fd_b = reference_features(ref, imgs_b, feats)
+
+    table: Dict[str, Dict] = {}
+    for layer in layers:
+        r = reference_metrics(fd_a, fd_b, layer, kid_subsets,
+                              kid_subset_size)
+        o = ours_metrics(imgs_a, imgs_b, pth, layer, kid_subsets,
+                         kid_subset_size)
+        table[layer] = {
+            "reference": r,
+            "ours": o,
+            "rel_diff": {
+                k: abs(r[k] - o[k]) / max(abs(r[k]), 1e-12)
+                for k in r
+            },
+        }
+    return table
+
+
+def main():
+    import tempfile
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "RUNS/parity_ab"
+    os.makedirs(out_dir, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        table = run_metric_ab(td)
+    path = os.path.join(out_dir, "metrics_ab.json")
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps(table, indent=1))
+
+
+if __name__ == "__main__":
+    main()
