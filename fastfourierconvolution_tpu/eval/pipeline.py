@@ -148,6 +148,7 @@ class FeatureExtractor:
         weights_path: Optional[str] = None,
         batch_size: int = 128,
         name: str = "inception-v3-compat",
+        mesh=None,
     ):
         self.name = name
         self.features_list = tuple(sorted(set(features_list)))
@@ -169,9 +170,31 @@ class FeatureExtractor:
             self.module, self.variables = factory(
                 self.features_list, weights_path
             )
-        self._apply = jax.jit(
-            lambda v, x: self.module.apply(v, x)
-        )
+        if mesh is not None:
+            # sharded eval extraction (SURVEY §5.8): images sharded over
+            # the mesh's dp axis, extractor weights replicated; features
+            # come back device-sharded and are gathered to the host by
+            # the np.asarray in extract() — the reference does all of
+            # this on one device (torch_fidelity/utils.py:160-208)
+            from ..parallel.mesh import batch_sharding, replicated
+
+            assert batch_size % mesh.shape["dp"] == 0, (
+                f"batch_size {batch_size} must divide over dp="
+                f"{mesh.shape['dp']} for sharded extraction"
+            )
+            rep = replicated(mesh)
+            self.variables = jax.device_put(self.variables, rep)
+            self._apply = jax.jit(
+                lambda v, x: self.module.apply(v, x),
+                in_shardings=(
+                    jax.tree.map(lambda _: rep, self.variables),
+                    batch_sharding(mesh),
+                ),
+            )
+        else:
+            self._apply = jax.jit(
+                lambda v, x: self.module.apply(v, x)
+            )
 
     def extract(self, sampler, total: int) -> Dict[str, np.ndarray]:
         chunks: Dict[str, list] = {f: [] for f in self.features_list}
@@ -231,11 +254,15 @@ def get_feature_extractor(
     features_list: Sequence[str],
     weights_path: Optional[str] = None,
     batch_size: int = 128,
+    mesh=None,
 ) -> FeatureExtractor:
-    key = (name, tuple(sorted(set(features_list))), weights_path, batch_size)
+    key = (
+        name, tuple(sorted(set(features_list))), weights_path, batch_size,
+        mesh,
+    )
     if key not in _EXTRACTOR_CACHE:
         _EXTRACTOR_CACHE[key] = FeatureExtractor(
-            features_list, weights_path, batch_size, name
+            features_list, weights_path, batch_size, name, mesh=mesh
         )
     return _EXTRACTOR_CACHE[key]
 
@@ -328,6 +355,7 @@ def calculate_metrics(
     cache: bool = True,
     cache_dir: str = DEFAULT_CACHE_DIR,
     verbose: bool = False,
+    mesh=None,
 ) -> Dict[str, float]:
     """Compute the requested metrics — the reference's
     ``torch_fidelity.calculate_metrics`` surface (metrics.py:112-349,
@@ -387,6 +415,7 @@ def calculate_metrics(
             cache=cache,
             cache_dir=cache_dir,
             verbose=verbose,
+            mesh=mesh,
         )
         out.update(
             calculate_metrics(
@@ -443,6 +472,7 @@ def calculate_metrics(
                 wanted_layers,
                 weights_path=fe_weights,
                 batch_size=batch_size,
+                mesh=mesh,
             )
 
         def features_for(spec, num_samples, cache_name):

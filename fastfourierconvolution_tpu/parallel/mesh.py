@@ -78,11 +78,19 @@ def put_global_batch(sharding: NamedSharding, local_batch: np.ndarray):
 
 # (regex on 'path/to/param', PartitionSpec) — first match wins; default
 # replicated. Rules shard the big MXU matmuls of the FFC stack:
-#   * generator stem Dense kernel (z_size, mg*mg*ngf*8): shard out-features
 #   * FourierUnit mix kernels (2C, 2C): shard out-features
 #   * discriminator fc kernel (mg*mg*512, 1): replicate (tiny)
+#
+# The generator stem Dense kernel is deliberately NOT sharded: with
+# P(None, "tp") on noise_to_feature/kernel, the XLA SPMD partitioner
+# mispartitions the full train-step graph (the stem reshape feeding the
+# FFC channel split, under jvp) and scales loss_g by exactly the tp
+# factor — isolated experimentally on the 8-device CPU mesh (stem-only
+# rule: loss_g x tp; mix-only rule: bit-exact vs unsharded; the compile
+# also emits "[SPMD] Involuntary full rematerialization" warnings on the
+# FourierUnit complex ops). tests/test_parallel.py
+# ::test_tp_matches_single_device_numerics guards this.
 _TP_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*noise_to_feature.*/kernel$", P(None, "tp")),
     (r".*mix_kernel$", P(None, "tp")),
 )
 

@@ -89,11 +89,16 @@ def test_tp_sharding_rules(devices8):
     state = trainer.init(jax.random.PRNGKey(0), real)
     p_shard = params_shardings(mesh, state.g.params)
     flat = jax.tree_util.tree_flatten_with_path(p_shard)[0]
-    # the generator stem kernel must be tp-sharded
+    # the stem kernel stays replicated (SPMD mispartition guard — see
+    # parallel/mesh.py _TP_RULES comment)
     stem = [s for p, s in flat if "noise_to_feature" in str(p) and "kernel" in str(p)]
-    assert stem and stem[0].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert stem and stem[0].spec == jax.sharding.PartitionSpec()
     # FourierUnit mix kernels tp-sharded when divisible
-    mixes = [s for p, s in flat if "mix_kernel" in str(p)]
+    mixes = [
+        s for p, s in flat
+        if "mix_kernel" in str(p)
+        and s.spec == jax.sharding.PartitionSpec(None, "tp")
+    ]
     assert mixes
     # run a full tp+dp step
     s_shard = state_shardings(mesh, state, trainer.g_tx, trainer.d_tx)
@@ -108,3 +113,53 @@ def test_tp_sharding_rules(devices8):
         jax.device_put(jnp.zeros((8, 8, 8, 3)), b_shard),
     )
     assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_tp_matches_single_device_numerics(devices8):
+    """dp=4 x tp=2 must reproduce the unsharded step's numbers (round-1
+    VERDICT item 7: only dp had numerics parity coverage)."""
+    trainer = _tiny()
+    real = jnp.tanh(jax.random.normal(jax.random.PRNGKey(2), (16, 8, 8, 3)))
+    state = trainer.init(jax.random.PRNGKey(0), real)
+
+    ref_state, ref_metrics = jax.jit(trainer.update_step)(state, real)
+
+    mesh = make_mesh(n_data=4, n_tensor=2, devices=devices8)
+    s_shard = state_shardings(mesh, state, trainer.g_tx, trainer.d_tx)
+    b_shard = batch_sharding(mesh)
+    sh_state, sh_metrics = jax.jit(
+        trainer.update_step,
+        in_shardings=(s_shard, b_shard),
+        out_shardings=(s_shard, None),
+    )(jax.device_put(state, s_shard), jax.device_put(real, b_shard))
+    # tp re-orders the stem/mix matmul reductions (psum over tp), so the
+    # tolerance is absolute: early-step losses are O(1e-2)-O(1)
+    np.testing.assert_allclose(
+        float(ref_metrics["loss_g"]), float(sh_metrics["loss_g"]),
+        rtol=2e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        float(ref_metrics["loss_d"]), float(sh_metrics["loss_d"]),
+        rtol=2e-3, atol=1e-3,
+    )
+    fa, _ = jax.flatten_util.ravel_pytree(ref_state.g.params)
+    fb, _ = jax.flatten_util.ravel_pytree(sh_state.g.params)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=5e-4)
+    fa, _ = jax.flatten_util.ravel_pytree(ref_state.d.params)
+    fb, _ = jax.flatten_util.ravel_pytree(sh_state.d.params)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=5e-4)
+
+
+def test_sharded_eval_extraction_matches_unsharded(devices8):
+    """FeatureExtractor(mesh=...) must give the same features as the
+    single-device extractor, gathered to host (SURVEY §5.8 sharded eval)."""
+    from fastfourierconvolution_tpu.eval.pipeline import FeatureExtractor
+
+    mesh = make_mesh(devices=devices8)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (16, 16, 16, 3), dtype=np.uint8)
+    ex_plain = FeatureExtractor(("64",), batch_size=8)
+    ex_mesh = FeatureExtractor(("64",), batch_size=8, mesh=mesh)
+    f1 = ex_plain.extract(lambda i: imgs[i:i + 8], 16)["64"]
+    f2 = ex_mesh.extract(lambda i: imgs[i:i + 8], 16)["64"]
+    np.testing.assert_allclose(f1, f2, atol=1e-4)
