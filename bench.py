@@ -122,6 +122,49 @@ def main() -> None:
     mfu = flops_step / step_time / TPU_V5E_BF16_PEAK
     hbm = bytes_step / step_time / TPU_V5E_HBM_BW
 
+    # Real-hardware smoke of the (default-off) Pallas FourierUnit
+    # kernels: compile+run both families on the chip and check numerics
+    # against the jnp spec, so a Mosaic regression can't rot unnoticed
+    # (interpret-mode tests alone don't exercise the TPU lowering).
+    pallas_smoke = "skipped (not tpu)"
+    if jax.default_backend() == "tpu":
+        try:
+            from fastfourierconvolution_tpu.ops.pallas import (
+                fourier_unit as fu,
+            )
+
+            key = jax.random.PRNGKey(7)
+            xs = jax.random.normal(key, (4, 16, 16, 16), jnp.bfloat16)
+            kern = (
+                jax.random.normal(key, (32, 32), jnp.bfloat16) * 0.1
+            )
+            ones = jnp.ones((32,), jnp.float32)
+            zeros = jnp.zeros((32,), jnp.float32)
+            y_ref, bm_ref, _ = fu._spec_forward(
+                xs.astype(jnp.float32), kern.astype(jnp.float32),
+                ones, zeros, zeros, ones, True,
+            )
+            errs = {}
+            for mode in ("sep", "kron"):
+                y, bm, bv = fu._pallas_forward(
+                    xs, kern, ones, zeros, zeros, ones, True, mode=mode
+                )
+                gy = jax.random.normal(key, xs.shape, xs.dtype)
+                gouts = fu._pallas_backward(
+                    xs, kern, ones, zeros, bm, bv, gy, True, mode=mode
+                )
+                jax.block_until_ready(gouts)
+                rel = float(
+                    jnp.abs(y.astype(jnp.float32) - y_ref).max()
+                    / jnp.abs(y_ref).max()
+                )
+                if not rel < 2e-2:
+                    raise AssertionError(f"{mode} fwd rel err {rel}")
+                errs[mode] = round(rel, 5)
+            pallas_smoke = f"ok {errs}"
+        except Exception as e:  # noqa: BLE001 - report, don't kill bench
+            pallas_smoke = f"FAILED: {type(e).__name__}: {e}"
+
     # non-protocol batch sizes get their own metric name so a scaling
     # study can never compare against (or overwrite) the batch-64
     # baseline record
@@ -164,6 +207,7 @@ def main() -> None:
                 "bytes_per_step": bytes_step,
                 "mfu_pct_of_v5e_bf16_peak": round(mfu * 100, 2),
                 "hbm_bw_pct": round(hbm * 100, 2),
+                "pallas_smoke": pallas_smoke,
                 "backend": jax.default_backend(),
             }
         ),

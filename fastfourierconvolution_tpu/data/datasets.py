@@ -22,6 +22,7 @@ import os
 import pickle
 import struct
 import tarfile
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -278,7 +279,7 @@ class TarImageDataset:
         self.tar_path = tar_path
         self.size = size
         self.channels = channels
-        self._handles = {}  # pid -> TarFile
+        self._handles = {}  # (pid, thread) -> TarFile
         members: List[tarfile.TarInfo] = []
         try:
             with tarfile.open(tar_path, "r:") as tf:
@@ -306,10 +307,14 @@ class TarImageDataset:
         ]
 
     def _tar(self) -> tarfile.TarFile:
-        pid = os.getpid()
-        if pid not in self._handles:
-            self._handles[pid] = tarfile.open(self.tar_path, "r:")
-        return self._handles[pid]
+        # one handle per (process, thread): TarFile seeks are stateful,
+        # so concurrent decode threads (DataLoader decode_threads) each
+        # need their own, mirroring the reference's per-worker handles
+        # (tar_loader.py:74-76, 187-194)
+        key = (os.getpid(), threading.get_ident())
+        if key not in self._handles:
+            self._handles[key] = tarfile.open(self.tar_path, "r:")
+        return self._handles[key]
 
     def __getstate__(self):
         state = dict(self.__dict__)
@@ -583,6 +588,35 @@ def is_grayscale(name: str) -> bool:
     return name.lower() in GRAYSCALE_DATASETS
 
 
+def cache_decoded(ds, image_size: int, channels: int, threads: int = 8):
+    """Materialise a lazy (file/tar-backed) dataset into a contiguous
+    uint8 ArrayDataset with a one-time multithreaded decode pass.
+
+    Rationale (measured, round 2): per-item PIL decode of small images
+    is Python-overhead-bound (~5k img/s even with a decode thread pool,
+    GIL-held wrapper cost dominating the actual JPEG work), far below
+    the ~21k img/s device step rate; process pools are not an option in
+    the process holding the TPU client (fork wedges the chip). Paying
+    one decode pass up front turns every subsequent epoch into the
+    native gather+normalise fast path (data/native.py), which feeds the
+    chip at memory rate — the TPU answer to the reference's 8-worker
+    torch DataLoader (util/data_loader.py:477-542)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(ds)
+    images = np.empty((n, image_size, image_size, channels), np.uint8)
+    labels = np.empty((n,), np.int64)
+
+    def fill(i):
+        img, lab = ds[i]
+        images[i] = img
+        labels[i] = lab
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(fill, range(n)))
+    return ArrayDataset(images, labels)
+
+
 def load_dataset(
     name: str,
     data_dir: str,
@@ -591,13 +625,20 @@ def load_dataset(
     split: str = "train",
     hflip_augment: bool = False,
     aug_stack: Optional[str] = None,
+    decode_cache: Optional[bool] = None,
 ):
     """Config-driven dataset factory (reference load_data,
     util/data_loader.py:431-542): resolves the named dataset / folder /
     tar / synthetic source and wraps it with resize + channel transforms;
     ``aug_stack`` applies one of the reference's concat-augmentation
     stacks (AUG_STACKS); ``hflip_augment`` is shorthand for the 'hflip'
-    stack (celeba, :298-344)."""
+    stack (celeba, :298-344).
+
+    ``decode_cache``: materialise lazy file/tar readers into a
+    contiguous in-memory store (see cache_decoded). Default (None):
+    cache deterministic lazy datasets whose decoded size fits the
+    FFC_TPU_DECODE_CACHE_MB budget (2048 MB); random-augmented stacks
+    are never cached (they re-sample per access)."""
     lname = name.lower()
     if lname == "synthetic":
         base = SyntheticDataset(size=image_size, channels=channels)
@@ -623,4 +664,13 @@ def load_dataset(
                 f"unknown aug stack '{aug_stack}'; have {list(AUG_STACKS)}"
             )
         return apply_aug_stack(base, aug_stack, image_size, channels)
-    return TransformedDataset(base, image_size, channels)
+    out = TransformedDataset(base, image_size, channels)
+    if hasattr(out, "images"):
+        return out  # already contiguous in-memory — nothing to cache
+    if decode_cache is None:
+        budget_mb = int(os.environ.get("FFC_TPU_DECODE_CACHE_MB", "2048"))
+        decoded_mb = len(out) * image_size * image_size * channels // 2**20
+        decode_cache = decoded_mb <= budget_mb
+    if decode_cache:
+        return cache_decoded(out, image_size, channels)
+    return out

@@ -41,13 +41,21 @@ class DataLoader:
         process_index: int = 0,
         process_count: int = 1,
         raw_uint8: bool = False,
+        decode_threads: Optional[int] = None,
     ):
         """``batch_size`` is the GLOBAL batch. With ``process_count > 1``
         (multi-host pods) every host draws the same seeded epoch
         permutation and yields only its ``batch_size / process_count``
         slice of each global batch — the per-host input pipeline the
         reference never needed (single-process nn.DataParallel,
-        SURVEY §2.8)."""
+        SURVEY §2.8).
+
+        ``decode_threads``: per-item datasets (file/tar readers that
+        decode lazily) are gathered through a thread pool — PIL's
+        JPEG decode releases the GIL, so this is the reference's
+        DataLoader(num_workers=8) equivalent (util/data_loader.py).
+        Default (None): 8 threads when the dataset has no contiguous
+        in-memory store, 0 (serial) otherwise."""
         assert batch_size % max(process_count, 1) == 0, (
             "global batch must divide evenly across hosts"
         )
@@ -61,6 +69,26 @@ class DataLoader:
         self.process_count = max(process_count, 1)
         self.raw_uint8 = raw_uint8
         self.local_batch = batch_size // self.process_count
+        in_memory = hasattr(dataset, "images") and hasattr(dataset, "labels")
+        if decode_threads is None:
+            decode_threads = 0 if in_memory else 8
+        self.decode_threads = decode_threads
+        self._pool = None  # created lazily (keeps pickling/fork simple)
+
+    def _items(self, idx: np.ndarray):
+        """Gather dataset items, decoding through the thread pool when
+        enabled."""
+        ds = self.dataset
+        if self.decode_threads > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.decode_threads,
+                    thread_name_prefix="ffc-decode",
+                )
+            return list(self._pool.map(lambda i: ds[int(i)], idx))
+        return [ds[int(i)] for i in idx]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -83,7 +111,7 @@ class DataLoader:
                 np.asarray(ds.labels)[idx],
             )
         if self.raw_uint8:
-            imgs, labels = zip(*(ds[int(i)] for i in idx))
+            imgs, labels = zip(*self._items(idx))
             return np.stack(imgs), np.asarray(labels, np.int64)
         # Fast path: contiguous uint8 array stores go through the native
         # multithreaded gather+normalise engine (native/ffc_batcher.cpp).
@@ -93,7 +121,7 @@ class DataLoader:
             out = native.gather_normalize(ds.images, idx)
             if out is not None:
                 return out, np.asarray(ds.labels)[idx]
-        imgs, labels = zip(*(ds[int(i)] for i in idx))
+        imgs, labels = zip(*self._items(idx))
         return normalize_to_unit(np.stack(imgs)), np.asarray(labels, np.int64)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -121,6 +149,9 @@ class DataLoader:
         """
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # bind locally: at interpreter shutdown the module global
+        # ``queue`` may already be cleared when the producer still spins
+        full_exc = queue.Full
 
         def produce():
             while not stop.is_set():
@@ -129,7 +160,7 @@ class DataLoader:
                         try:
                             q.put(batch, timeout=0.2)
                             break
-                        except queue.Full:
+                        except full_exc:
                             continue
                     if stop.is_set():
                         return
@@ -141,10 +172,16 @@ class DataLoader:
                 yield q.get()
         finally:
             stop.set()
-            # drain so the producer's in-flight put can complete, then join
+            # drain so the producer's in-flight put can complete, then
+            # join. The broad except is deliberate: generator
+            # finalization can run at interpreter shutdown, where queue
+            # internals misbehave — nothing here may raise.
             try:
                 while True:
                     q.get_nowait()
-            except queue.Empty:
+            except BaseException:  # noqa: BLE001
                 pass
-            t.join(timeout=2.0)
+            try:
+                t.join(timeout=2.0)
+            except BaseException:  # noqa: BLE001
+                pass

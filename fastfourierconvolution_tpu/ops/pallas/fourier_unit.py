@@ -7,9 +7,12 @@ unit so intermediates live in VMEM:
 
   * a pure-jnp reference implementation (``_spec_forward``) defining the
     exact semantics (identical to the FourierUnit flax module's math);
-  * layout-safe Pallas TPU kernels (Kronecker spatial-DFT matrices, all
-    strictly 2-D contractions, stats+apply kernel pairs over a
-    sequential batch grid) for forward and backward;
+  * two layout-safe Pallas TPU kernel families for forward and
+    backward — "kron" (Kronecker spatial-DFT matrices, strictly 2-D
+    contractions, small maps only) and "sep" (separable factor
+    matmuls with f32 in-VMEM relayouts and a sublane-padded
+    half-spectrum, O(HW(H+W)C) FLOPs) — both as stats+apply kernel
+    pairs over a sequential batch grid;
   * a custom VJP whose backward **rematerialises** the spectral
     intermediates from x (matmuls are cheap, bytes are not) — residuals
     are just (x, params, batch stats);
@@ -270,17 +273,26 @@ def _kron_vmem_bytes(h: int, w: int, itemsize: int = 4) -> int:
 #
 #   train img/s   eval-gen img/s
 #   XLA (jnp custom-VJP):      21457         49790
-#   Pallas all maps <=32x32:   13107             -
-#   Pallas small maps (<=8x8): 21260         25523
+#   Pallas kron <=32x32:       13107             -
+#   Pallas kron <=8x8 only:    21260         25523
+#   Pallas sep (per-item):     10956             -
 #
 # XLA's automatic fusion of the DFT-as-matmul composition beats the
-# hand-written kernels in-context even where isolated microbenchmarks
-# favored Pallas (dispatch-latency artifacts of the tunnelled chip).
-# The Pallas path therefore defaults OFF but stays fully tested
-# (interpret-mode parity + gradient tests) and can be enabled
+# hand-written kernels in-context: a jax.profiler trace of the XLA
+# step shows the FourierUnit accounts for only ~5% of device time at
+# 32px (conv fusions dominate; see BASELINE.md roofline notes), so a
+# fused FU cannot win more than that, while the per-batch-item grid
+# of these kernels makes each DFT matmul tiny and latency-bound
+# (5.8 ms/step vs XLA's 2.99). The Pallas path therefore defaults OFF
+# but stays fully tested (interpret-mode parity + gradient tests and
+# a real-hardware smoke in bench.py) and can be enabled
 # programmatically for future hardware where the balance differs.
 
 _PALLAS_ENABLED = False
+# kernel family: "sep" = separable-DFT (factor matmuls + in-VMEM
+# relayouts, O(HW(H+W)C) FLOPs, fits every ladder resolution);
+# "kron" = Kronecker spatial matrices (small maps only)
+_PALLAS_MODE = "sep"
 
 
 def set_pallas_enabled(enabled: bool) -> None:
@@ -290,12 +302,23 @@ def set_pallas_enabled(enabled: bool) -> None:
     _PALLAS_ENABLED = bool(enabled)
 
 
+def set_pallas_mode(mode: str) -> None:
+    assert mode in ("sep", "kron"), mode
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+
+
 def _use_pallas(x) -> bool:
     if not _PALLAS_ENABLED:
         return False
     if jax.default_backend() != "tpu":
         return False
     b, h, w, c = x.shape
+    if _PALLAS_MODE == "sep":
+        return (
+            _sep_legal(h, w, c)
+            and _sep_vmem_bytes(h, w, c) <= VMEM_BUDGET_BYTES
+        )
     if _kron_vmem_bytes(h, w) > VMEM_BUDGET_BYTES:
         return False
     # per-step working set: x block + spectrum copies
@@ -310,6 +333,477 @@ def _pl():
     from jax.experimental.pallas import tpu as pltpu
 
     return pl, pltpu
+
+
+# --- separable-DFT kernels (round 2, VERDICT item 3) ------------------------
+#
+# The Kronecker kernels above do O((HW)^2 C) MACs and need the (UVf, HW)
+# matrix pair in VMEM, which caps them at 32x32 maps. This family keeps
+# the DFT separable — only the four (H, H)/(W, Wf) factor matrices are
+# resident — at O(HW(H+W)C) MACs, so it admits much larger maps. The
+# price is per-stage layout changes ((H,C,W) <-> (H,Wf,C) transposes/
+# reshapes), which stay in VMEM and never touch HBM; per batch item the
+# kernel reads x once and writes y once (train-mode stats add one extra
+# read of x, mirroring the Kronecker two-pass structure).
+#
+# Matrix identities used (see ops/fourier.py factors): with the ortho
+# factors, the inverse needs no extra matrices — eh_r = ah^T,
+# eh_i = -bh^T, fw_r = c*cw, fw_i = -c*dw — so forward, inverse and both
+# adjoints all run off (ah, bh, cw, dw) plus the half-spectrum
+# duplication weights c.
+#
+# Mosaic layout legality (probed empirically on TPU v5e): a jnp reshape
+# inside a kernel that merges sublane dims into the row dim of a
+# transposed (non-canonical-layout) array is only supported when the
+# merged minor-leading dim is a multiple of the sublane tile (8 for
+# f32). The kernels therefore (a) run ALL in-kernel math in f32 — x/y
+# are cast at the VMEM boundary, HBM traffic stays in the model dtype,
+# and the DFT/mix matmuls are tiny relative to the bytes this fusion
+# saves — and (b) zero-pad the half-spectrum axis Wf to a multiple of 8
+# by appending zero columns to the W-factor matrices cw/dw and zeros to
+# the duplication weights. The padding is annihilated in every
+# direction: forward spectrum rows at padded v are exactly zero (zero
+# factor columns), the inverse multiplies by the zero duplication
+# weights before contracting, and both adjoints contract padded rows
+# against the same zero factor columns. BatchNorm statistics stay exact
+# because padded rows contribute 0 to sum(m) and sum(m^2) while the
+# divisor uses the REAL element count b*h*wf. The remaining legality
+# conditions H % 8 == 0 and C % 8 == 0 (merged minor-leading dims of
+# the (C,Wf_p,H)- and (Wf_p,C,H)-style relayouts) are enforced by
+# _sep_legal — every FFC-ladder FourierUnit shape satisfies them.
+
+_SUBLANE = 8
+
+
+def _pad8(n: int) -> int:
+    return -(-n // _SUBLANE) * _SUBLANE
+
+
+def _sep_legal(h: int, w: int, c: int) -> bool:
+    return h % _SUBLANE == 0 and c % _SUBLANE == 0
+
+
+def _sep_vmem_bytes(h: int, w: int, c: int) -> int:
+    """Estimated per-grid-step VMEM working set of the separable apply
+    kernel (f32 internal math): x + y blocks + ~6 live
+    (H*Wf_p, 2C)-class intermediates + factor matrices. Mosaic pads
+    lanes to multiples of 128."""
+    wf = w // 2 + 1
+    wfp = _pad8(wf)
+    lane = lambda n: -(-n // 128) * 128
+    maps = 2 * h * lane(w) * max(c, _SUBLANE) * 4
+    mids = 6 * h * wfp * lane(2 * c) * 4
+    factors = 2 * h * lane(h) * 4 + 2 * w * lane(wfp) * 4
+    return maps + mids + factors
+
+
+@functools.lru_cache(maxsize=32)
+def _sep_np_factors(h: int, w: int):
+    """Forward factors with the W-factor pair zero-padded on the Wf
+    axis to a sublane multiple (see layout-legality note above)."""
+    import numpy as np
+
+    ah, bh, cw, dw = fourier._forward_factors(h, w)
+    wf = w // 2 + 1
+    wfp = _pad8(wf)
+    cw = np.pad(cw, ((0, 0), (0, wfp - wf)))
+    dw = np.pad(dw, ((0, 0), (0, wfp - wf)))
+    c = np.zeros((wfp,), np.float32)
+    c[:wf] = 2.0
+    c[0] = 1.0
+    if w % 2 == 0:
+        c[wf - 1] = 1.0
+    return ah, bh, cw, dw, c
+
+
+def _dT(a, b):
+    """a^T @ b (contract dim 0 of both)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dNT(a, b):
+    """a @ b^T (contract dim 1 of both)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _cv_rows(a, h, wfp, c):
+    """((c,v)-rows, u-lanes) (C*Wf_p, U) -> (U*Wf_p, C). All f32."""
+    a3 = a.reshape(c, wfp, h)
+    a3 = jnp.transpose(a3, (2, 0, 1))  # (U, C, Wf_p)
+    a3 = jnp.transpose(a3, (0, 2, 1))  # (U, Wf_p, C)
+    return a3.reshape(h * wfp, c)
+
+
+def _sep_spectrum(x3f, ah, bh, cw, dw, kern, h, w, c):
+    """x (H, W, C) f32 -> (z (H*Wf_p, 2C), m (H*Wf_p, 2C)), all f32.
+
+    Matches _dft_forward + concat + mix exactly on the real Wf columns
+    (W-transform, then H-transform, re/im concatenated channel-last);
+    padded rows are exactly zero in z and m."""
+    wfp = cw.shape[1]
+    x2 = jnp.transpose(x3f, (2, 0, 1)).reshape(c * h, w)  # ((c,h), w)
+    t_r = jnp.dot(x2, cw, preferred_element_type=jnp.float32)
+    t_i = jnp.dot(x2, dw, preferred_element_type=jnp.float32)
+    to_vu = lambda a: jnp.transpose(
+        a.reshape(c, h, wfp), (0, 2, 1)
+    ).reshape(c * wfp, h)  # ((c,v), h)
+    t_r2, t_i2 = to_vu(t_r), to_vu(t_i)
+    f_r = _dNT(t_r2, ah) - _dNT(t_i2, bh)  # ((c,v), u)
+    f_i = _dNT(t_i2, ah) + _dNT(t_r2, bh)
+    z = jnp.concatenate(
+        [_cv_rows(f_r, h, wfp, c), _cv_rows(f_i, h, wfp, c)], axis=-1
+    )
+    m = jnp.dot(z, kern, preferred_element_type=jnp.float32)
+    return z, m
+
+
+def _uv_to_vcu(a, h, wfp, c):
+    """(U*Wf_p, C) -> ((v,c)-rows, u-lanes) (Wf_p*C, U). All f32."""
+    a3 = a.reshape(h, wfp, c)
+    return jnp.transpose(a3, (1, 2, 0)).reshape(wfp * c, h)
+
+
+def _sep_inverse(r, ah, bh, cw, dw, h, w, c):
+    """r (H*Wf_p, 2C) f32 [c-weights already applied, so padded rows
+    are zero] -> y (H, W, C) f32.
+
+    Matches _dft_inverse with eh_r = ah^T, eh_i = -bh^T, fw_r = c*cw,
+    fw_i = -c*dw."""
+    wfp = cw.shape[1]
+    r_re = _uv_to_vcu(r[:, :c], h, wfp, c)  # ((v,c), u)
+    r_im = _uv_to_vcu(r[:, c:], h, wfp, c)
+    p_r = (
+        jnp.dot(r_re, ah, preferred_element_type=jnp.float32)
+        + jnp.dot(r_im, bh, preferred_element_type=jnp.float32)
+    )  # ((v,c), p)
+    p_i = (
+        jnp.dot(r_im, ah, preferred_element_type=jnp.float32)
+        - jnp.dot(r_re, bh, preferred_element_type=jnp.float32)
+    )
+    to_cpv = lambda a: jnp.transpose(
+        a.reshape(wfp, c, h), (1, 2, 0)
+    ).reshape(c * h, wfp)  # ((c,p), v)
+    y2 = _dNT(to_cpv(p_r), cw) + _dNT(to_cpv(p_i), dw)  # ((c,p), w)
+    return jnp.transpose(y2.reshape(c, h, w), (1, 2, 0))  # (P, W, C)
+
+
+def _sep_inverse_adjoint(gy3f, ah, bh, cw, dw, crow, h, w, c):
+    """gy (H, W, C) f32 -> gr (H*Wf_p, 2C) f32: adjoint of _sep_inverse
+    (_dft_inverse_adjoint in factor form; padded rows zero via crow)."""
+    wfp = cw.shape[1]
+    gy2 = jnp.transpose(gy3f, (2, 0, 1)).reshape(c * h, w)  # ((c,p), w)
+    gp_r = jnp.dot(gy2, cw, preferred_element_type=jnp.float32) * crow
+    gp_i = jnp.dot(gy2, dw, preferred_element_type=jnp.float32) * crow
+    to_vp = lambda a: jnp.transpose(
+        a.reshape(c, h, wfp), (0, 2, 1)
+    ).reshape(c * wfp, h)  # ((c,v), p)
+    gp_r2, gp_i2 = to_vp(gp_r), to_vp(gp_i)
+    gf_r = _dNT(gp_r2, ah) - _dNT(gp_i2, bh)  # ((c,v), u) f32
+    gf_i = _dNT(gp_r2, bh) + _dNT(gp_i2, ah)
+    return jnp.concatenate(
+        [_cv_rows(gf_r, h, wfp, c), _cv_rows(gf_i, h, wfp, c)], axis=-1
+    )
+
+
+def _sep_forward_adjoint(gz, ah, bh, cw, dw, h, w, c):
+    """gz (H*Wf_p, 2C) f32 -> gx (H, W, C) f32: adjoint of
+    _sep_spectrum's DFT (_dft_forward_adjoint in factor form; padded
+    rows of gz are contracted against zero factor columns)."""
+    wfp = cw.shape[1]
+    g_r = _uv_to_vcu(gz[:, :c], h, wfp, c)  # ((v,c), u)
+    g_i = _uv_to_vcu(gz[:, c:], h, wfp, c)
+    gt_r = (
+        jnp.dot(g_r, ah, preferred_element_type=jnp.float32)
+        + jnp.dot(g_i, bh, preferred_element_type=jnp.float32)
+    )  # ((v,c), h)
+    gt_i = (
+        jnp.dot(g_i, ah, preferred_element_type=jnp.float32)
+        - jnp.dot(g_r, bh, preferred_element_type=jnp.float32)
+    )
+    to_chv = lambda a: jnp.transpose(
+        a.reshape(wfp, c, h), (1, 2, 0)
+    ).reshape(c * h, wfp)  # ((c,h), v)
+    gx2 = _dNT(to_chv(gt_r), cw) + _dNT(to_chv(gt_i), dw)  # ((c,h), w)
+    return jnp.transpose(gx2.reshape(c, h, w), (1, 2, 0))
+
+
+def _sep_operands(x, kernel, scale, bias, mean, var):
+    b, h, w, c = x.shape
+    wf = w // 2 + 1
+    dt = x.dtype
+    ah, bh, cw, dw, cvals = _sep_np_factors(h, w)
+    wfp = cw.shape[1]
+    import numpy as np
+
+    f32 = jnp.float32
+    row = lambda a: a.astype(f32).reshape(1, 2 * c)
+    cvec = jnp.asarray(
+        np.broadcast_to(cvals[None, :], (h, wfp)).reshape(h * wfp, 1)
+    )
+    crow = jnp.asarray(cvals.reshape(1, wfp))
+    return (
+        b, h, w, c, wf, wfp, dt,
+        jnp.asarray(ah, f32), jnp.asarray(bh, f32),
+        jnp.asarray(cw, f32), jnp.asarray(dw, f32),
+        cvec, crow, kernel.astype(f32),
+        row(scale), row(bias), row(mean), row(var),
+    )
+
+
+def _pallas_forward_sep(x, kernel, scale, bias, mean, var, train,
+                        interpret: bool = False):
+    pl, pltpu = _pl()
+    (b, h, w, c, wf, wfp, dt, ah, bh, cw, dw, cvec, crow, kern,
+     scale_r, bias_r, mean_r, var_r) = _sep_operands(
+        x, kernel, scale, bias, mean, var
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    factor_specs = [
+        const((h, h)), const((h, h)), const((w, wfp)), const((w, wfp)),
+    ]
+
+    if train:
+        def stats_kernel(x_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+                         s1_ref, s2_ref, acc1, acc2):
+            i = pl.program_id(0)
+            _, m = _sep_spectrum(
+                x_ref[0].astype(jnp.float32), ah_ref[:], bh_ref[:],
+                cw_ref[:], dw_ref[:], k_ref[:], h, w, c,
+            )
+            s1 = jnp.sum(m, axis=0, keepdims=True)
+            s2 = jnp.sum(m * m, axis=0, keepdims=True)
+
+            @pl.when(i == 0)
+            def _():
+                acc1[:] = s1
+                acc2[:] = s2
+
+            @pl.when(i > 0)
+            def _():
+                acc1[:] = acc1[:] + s1
+                acc2[:] = acc2[:] + s2
+
+            s1_ref[:] = acc1[:]
+            s2_ref[:] = acc2[:]
+
+        sum_m, sum_m2 = pl.pallas_call(
+            stats_kernel,
+            grid=(b,),
+            in_specs=[per_b((h, w, c)), const((2 * c, 2 * c))]
+            + factor_specs,
+            out_specs=(const((1, 2 * c)), const((1, 2 * c))),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, 2 * c), jnp.float32),
+                pltpu.VMEM((1, 2 * c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, kern, ah, bh, cw, dw)
+        n = b * h * wf
+        bmean_r = sum_m / n
+        bvar_r = sum_m2 / n - bmean_r * bmean_r
+    else:
+        bmean_r, bvar_r = mean_r, var_r
+
+    def apply_kernel(x_ref, k_ref, s_ref, b_ref, m_ref, v_ref, cv_ref,
+                     ah_ref, bh_ref, cw_ref, dw_ref, y_ref):
+        _, m = _sep_spectrum(
+            x_ref[0].astype(jnp.float32), ah_ref[:], bh_ref[:],
+            cw_ref[:], dw_ref[:], k_ref[:], h, w, c,
+        )
+        inv = jax.lax.rsqrt(v_ref[:] + EPS)
+        pre = (m - m_ref[:]) * inv * s_ref[:] + b_ref[:]
+        r = jnp.maximum(pre, 0.0) * cv_ref[:]
+        y_ref[0] = _sep_inverse(
+            r, ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:], h, w, c
+        ).astype(dt)
+
+    y = pl.pallas_call(
+        apply_kernel,
+        grid=(b,),
+        in_specs=[
+            per_b((h, w, c)),
+            const((2 * c, 2 * c)),
+            const((1, 2 * c)),
+            const((1, 2 * c)),
+            const((1, 2 * c)),
+            const((1, 2 * c)),
+            const((h * wfp, 1)),
+        ]
+        + factor_specs,
+        out_specs=per_b((h, w, c)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        interpret=interpret,
+    )(x, kern, scale_r, bias_r, bmean_r, bvar_r, cvec, ah, bh, cw, dw)
+    return y, bmean_r.reshape(2 * c), bvar_r.reshape(2 * c)
+
+
+def _pallas_backward_sep(x, kernel, scale, bias, bmean, bvar, gy, train,
+                         interpret: bool = False):
+    pl, pltpu = _pl()
+    (b, h, w, c, wf, wfp, dt, ah, bh, cw, dw, cvec, crow, kern,
+     scale_r, bias_r, mean_r, var_r) = _sep_operands(
+        x, kernel, scale, bias, bmean, bvar
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+    def recompute(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+                  cr_ref, s_ref, b_ref, m_ref, v_ref):
+        z, m = _sep_spectrum(
+            x_ref[0].astype(jnp.float32), ah_ref[:], bh_ref[:],
+            cw_ref[:], dw_ref[:], k_ref[:], h, w, c,
+        )
+        inv = jax.lax.rsqrt(v_ref[:] + EPS)
+        n_hat = (m - m_ref[:]) * inv
+        pre = n_hat * s_ref[:] + b_ref[:]
+        mask = (pre > 0).astype(jnp.float32)
+        gr = _sep_inverse_adjoint(
+            gy_ref[0].astype(jnp.float32), ah_ref[:], bh_ref[:],
+            cw_ref[:], dw_ref[:], cr_ref[:], h, w, c,
+        )
+        gpre = gr * mask
+        return z, n_hat, inv, gpre
+
+    in_specs_common = [
+        per_b((h, w, c)),
+        per_b((h, w, c)),
+        const((2 * c, 2 * c)),
+        const((h, h)),
+        const((h, h)),
+        const((w, wfp)),
+        const((w, wfp)),
+        const((1, wfp)),
+        const((1, 2 * c)),
+        const((1, 2 * c)),
+        const((1, 2 * c)),
+        const((1, 2 * c)),
+    ]
+
+    def stats_kernel(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref,
+                     dw_ref, cr_ref, s_ref, b_ref, m_ref, v_ref,
+                     gs_ref, gb_ref, gn_ref, gnn_ref,
+                     a1, a2, a3, a4):
+        i = pl.program_id(0)
+        _, n_hat, _, gpre = recompute(
+            x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+            cr_ref, s_ref, b_ref, m_ref, v_ref,
+        )
+        gn = gpre * s_ref[:]
+        rows = [
+            jnp.sum(gpre * n_hat, axis=0, keepdims=True),
+            jnp.sum(gpre, axis=0, keepdims=True),
+            jnp.sum(gn, axis=0, keepdims=True),
+            jnp.sum(gn * n_hat, axis=0, keepdims=True),
+        ]
+        for acc, row in zip((a1, a2, a3, a4), rows):
+            @pl.when(i == 0)
+            def _(acc=acc, row=row):
+                acc[:] = row
+
+            @pl.when(i > 0)
+            def _(acc=acc, row=row):
+                acc[:] = acc[:] + row
+        gs_ref[:] = a1[:]
+        gb_ref[:] = a2[:]
+        gn_ref[:] = a3[:]
+        gnn_ref[:] = a4[:]
+
+    gs, gb, sum_gn, sum_gnn = pl.pallas_call(
+        stats_kernel,
+        grid=(b,),
+        in_specs=in_specs_common,
+        out_specs=tuple(const((1, 2 * c)) for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((1, 2 * c), jnp.float32) for _ in range(4)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * c), jnp.float32) for _ in range(4)
+        ],
+        interpret=interpret,
+    )(x, gy, kern, ah, bh, cw, dw, crow, scale_r, bias_r, mean_r, var_r)
+
+    n = b * h * wf
+    mean_gn = sum_gn / n
+    mean_gnn = sum_gnn / n
+
+    def apply_kernel(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref,
+                     dw_ref, cr_ref, s_ref, b_ref, m_ref, v_ref,
+                     mgn_ref, mgnn_ref, gx_ref, gk_ref, gk_acc):
+        i = pl.program_id(0)
+        z, n_hat, inv, gpre = recompute(
+            x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+            cr_ref, s_ref, b_ref, m_ref, v_ref,
+        )
+        gn = gpre * s_ref[:]
+        if train:
+            gm = inv * (gn - mgn_ref[:] - n_hat * mgnn_ref[:])
+        else:
+            gm = gn * inv
+        gk_b = jax.lax.dot_general(
+            z, gm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == 0)
+        def _():
+            gk_acc[:] = gk_b
+
+        @pl.when(i > 0)
+        def _():
+            gk_acc[:] = gk_acc[:] + gk_b
+
+        gk_ref[:] = gk_acc[:]
+        gz = jax.lax.dot_general(
+            gm, k_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gx_ref[0] = _sep_forward_adjoint(
+            gz, ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:], h, w, c
+        ).astype(dt)
+
+    gx, gk = pl.pallas_call(
+        apply_kernel,
+        grid=(b,),
+        in_specs=in_specs_common
+        + [const((1, 2 * c)), const((1, 2 * c))],
+        out_specs=(per_b((h, w, c)), const((2 * c, 2 * c))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, c), dt),
+            jax.ShapeDtypeStruct((2 * c, 2 * c), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * c, 2 * c), jnp.float32)],
+        interpret=interpret,
+    )(x, gy, kern, ah, bh, cw, dw, crow, scale_r, bias_r, mean_r, var_r,
+      mean_gn, mean_gnn)
+
+    zeros = jnp.zeros_like(bmean)
+    return (
+        gx,
+        gk.astype(kernel.dtype),
+        gs.reshape(2 * c),
+        gb.reshape(2 * c),
+        zeros,
+        zeros,
+    )
 
 
 def _prep_operands(x, kernel, scale, bias, mean, var):
@@ -337,8 +831,8 @@ def _spectrum(x_b, kr, ki, kern, dt):
     return z, m
 
 
-def _pallas_forward(x, kernel, scale, bias, mean, var, train,
-                    interpret: bool = False):
+def _pallas_forward_kron(x, kernel, scale, bias, mean, var, train,
+                         interpret: bool = False):
     pl, pltpu = _pl()
     (b, h, w, c, wf, dt, kr, ki, cvec, x2,
      kern, scale_r, bias_r, mean_r, var_r) = _prep_operands(
@@ -437,8 +931,8 @@ def _pallas_forward(x, kernel, scale, bias, mean, var, train,
     return y, bmean_r.reshape(2 * c), bvar_r.reshape(2 * c)
 
 
-def _pallas_backward(x, kernel, scale, bias, bmean, bvar, gy, train,
-                     interpret: bool = False):
+def _pallas_backward_kron(x, kernel, scale, bias, bmean, bvar, gy, train,
+                          interpret: bool = False):
     pl, pltpu = _pl()
     (b, h, w, c, wf, dt, kr, ki, cvec, x2,
      kern, scale_r, bias_r, mean_r, var_r) = _prep_operands(
@@ -597,3 +1091,25 @@ def _pallas_backward(x, kernel, scale, bias, bmean, bvar, gy, train,
         zeros,
     )
 
+
+
+def _pallas_forward(x, kernel, scale, bias, mean, var, train,
+                    interpret: bool = False, mode: Optional[str] = None):
+    fn = (
+        _pallas_forward_sep
+        if (mode or _PALLAS_MODE) == "sep"
+        else _pallas_forward_kron
+    )
+    return fn(x, kernel, scale, bias, mean, var, train, interpret=interpret)
+
+
+def _pallas_backward(x, kernel, scale, bias, bmean, bvar, gy, train,
+                     interpret: bool = False, mode: Optional[str] = None):
+    fn = (
+        _pallas_backward_sep
+        if (mode or _PALLAS_MODE) == "sep"
+        else _pallas_backward_kron
+    )
+    return fn(
+        x, kernel, scale, bias, bmean, bvar, gy, train, interpret=interpret
+    )

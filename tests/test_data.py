@@ -334,3 +334,48 @@ def test_loader_multihost_drops_partial_tail():
     ]
     counts = [[b[0].shape[0] for b in s] for s in shards]
     assert counts[0] == counts[1] == [2, 2]  # 2 full global batches only
+
+
+def test_decode_cache_matches_streaming(tmp_path):
+    """load_dataset decode_cache (round 2, VERDICT item 6): lazy tar /
+    folder readers materialise into a contiguous ArrayDataset whose
+    items match the streaming path exactly."""
+    from fastfourierconvolution_tpu.data.datasets import (
+        ArrayDataset,
+        load_dataset,
+    )
+
+    tar_path = str(tmp_path / "data.tar")
+    _make_tar(tar_path, n=8)
+    lazy = load_dataset("tar", tar_path, 16, 3, decode_cache=False)
+    cached = load_dataset("tar", tar_path, 16, 3, decode_cache=True)
+    assert isinstance(cached, ArrayDataset)
+    assert not hasattr(lazy, "images")
+    assert len(lazy) == len(cached) == 8
+    for i in range(8):
+        a, la = lazy[i]
+        b, lb = cached[i]
+        np.testing.assert_array_equal(a, b)
+        assert la == lb
+
+
+def test_loader_threaded_decode_matches_serial(tmp_path):
+    """The decode thread pool (per-(pid,thread) tar handles) yields the
+    same batches as serial gathering."""
+    from fastfourierconvolution_tpu.data.datasets import (
+        TransformedDataset,
+    )
+
+    tar_path = str(tmp_path / "data.tar")
+    _make_tar(tar_path, n=12)
+    ds = TransformedDataset(TarImageDataset(tar_path), 16, 3)
+    serial = DataLoader(
+        ds, batch_size=4, seed=5, raw_uint8=True, decode_threads=0
+    )
+    threaded = DataLoader(
+        ds, batch_size=4, seed=5, raw_uint8=True, decode_threads=4
+    )
+    assert threaded.decode_threads == 4
+    for (xa, la), (xb, lb) in zip(serial, threaded):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(la, lb)

@@ -130,3 +130,44 @@ def test_default_dispatch_is_xla():
         assert ok == (jax.default_backend() == "tpu")
     finally:
         fu.set_pallas_enabled(False)
+
+
+# --- separable-DFT kernel family (round 2, VERDICT item 3) ------------------
+
+
+@pytest.mark.parametrize("train", [True, False])
+@pytest.mark.parametrize("hw", [(8, 8), (8, 4), (16, 8)])
+def test_pallas_sep_forward_matches_spec_interpret(train, hw):
+    h, w = hw
+    args = _make_inputs(b=3, h=h, w=w, c=5)
+    y1, m1, v1 = fu._pallas_forward_sep(*args, train, interpret=True)
+    y2, m2, v2 = fu._spec_forward(*args, train)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-5)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_pallas_sep_backward_matches_jnp_backward_interpret(train):
+    x, kernel, scale, bias, mean, var = _make_inputs(b=3, h=8, w=8, c=5)
+    _, bmean, bvar = fu._spec_forward(x, kernel, scale, bias, mean, var, train)
+    gy = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+    out_p = fu._pallas_backward_sep(
+        x, kernel, scale, bias, bmean, bvar, gy, train, interpret=True
+    )
+    out_j = fu._jnp_backward(x, kernel, scale, bias, bmean, bvar, gy, train)
+    names = ("gx", "gkernel", "gscale", "gbias", "gmean", "gvar")
+    for a, b, name in zip(out_p, out_j, names):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 1e-4, name
+
+
+def test_sep_vmem_gate_admits_midsize_maps():
+    """The separable family fits maps the Kronecker family cannot
+    (64x64), though the conservative estimate still rejects the largest
+    128px FU blocks."""
+    assert fu._sep_vmem_bytes(64, 64, 32) <= fu.VMEM_BUDGET_BYTES
+    assert fu._kron_vmem_bytes(64, 64) > fu.VMEM_BUDGET_BYTES
+    assert fu._sep_vmem_bytes(32, 32, 8) <= fu.VMEM_BUDGET_BYTES
