@@ -16,18 +16,22 @@ plus a second informational line with the roofline accounting
 publishes no throughput numbers (BASELINE.md), so round-over-round
 improvement is measured against our own round-1 number.
 
-Roofline story (TPU v5e, measured round 2): one global step (2 G
-forwards + G backward + fused-128 D forward/backward + both optimizers)
-is ~141 GFLOP; at the measured ~2.88 ms/step that is ~49 TFLOP/s =
-~25% of bf16 peak. The profile shows the device ~97% busy; the
-remaining gap to peak is lane utilisation of the FFC ladder's tail ops
-(32x32 maps with 3-48 channels against 128-wide MXU/VPU lanes) and the
-conv-transpose lowerings — closing it means changing channel widths (a
-parity break) or hand-written layout-packed tail kernels (the Pallas
-spectral-core experiment measured slower than XLA's own fusion, see
-ops/pallas/fourier_unit.py). Note cost_analysis "bytes accessed"
-double-counts fusion operands (>HBM peak if read as traffic); it is
-reported for trend only.
+Roofline story (TPU v5e, measured round 2 from jax.profiler traces —
+see BASELINE.md "trace-based roofline" for the full accounting): one
+32px global step (2 G forwards + G backward + fused-128 D
+forward/backward + both optimizers) is ~141 GFLOP at ~2.7-3.0 ms/step =
+~24% of bf16 peak, with the device ~97% busy and the TRUE HBM traffic
+only 0.22 GB/step compute + 0.09 DMA = 14% of bandwidth — XLA keeps the
+activation working set in VMEM (S(1) buffers; on-chip accesses are
+1.5 GB/step), so the step is op-mix/lane-bound, not memory-bound. The gap to peak is lane utilisation of the FFC
+ladder's tail ops (32x32 maps with 3-48 channels against 128-wide
+MXU/VPU lanes) and the conv-transpose lowerings — closing it means
+changing channel widths (a parity break) or layout-packed tail
+kernels (three Pallas spectral-core families each measured slower
+than XLA's own fusion in-context, ops/pallas/fourier_unit.py). Note
+cost_analysis "bytes accessed" counts VMEM-resident buffer accesses
+as if they were HBM traffic (>100% of HBM peak if read as such); the
+hbm_bw_pct field is reported for trend only.
 
 Set FFC_TPU_BENCH_PROFILE=<dir> to additionally dump a jax.profiler
 trace of 3 timed iterations. Set FFC_TPU_BENCH_RES=128 (default 32) to
@@ -145,7 +149,7 @@ def main() -> None:
                 ones, zeros, zeros, ones, True,
             )
             errs = {}
-            for mode in ("sep", "kron"):
+            for mode in ("sep", "sep2", "kron"):
                 y, bm, bv = fu._pallas_forward(
                     xs, kern, ones, zeros, zeros, ones, True, mode=mode
                 )

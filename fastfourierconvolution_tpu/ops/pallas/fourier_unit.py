@@ -1,9 +1,16 @@
 """Fused FourierUnit: rfft2 -> channel mix -> BN -> ReLU -> irfft2.
 
-The profiled train step is HBM-bandwidth-bound (~2.6 GB moved per step at
-batch 64); the XLA composition of the FourierUnit materialises ~10
-(B, H, Wf, 2C) intermediates in HBM per call. This module fuses the whole
-unit so intermediates live in VMEM:
+This module fuses the whole unit so intermediates live in VMEM. The
+premise — that the XLA composition wastes HBM round-trips on the
+(B, H, Wf, 2C) intermediates — was DISPROVEN by trace-based memory
+accounting (round 2, tools/trace_hbm.py; see BASELINE.md "trace-based
+roofline"): at 32px XLA keeps the activation working set in VMEM (S(1)
+buffers, true HBM traffic 0.22 GB/step = 14% of bandwidth incl. DMA),
+and at 128px the spectral ops account for only ~11% of the
+28.6 GB/step HBM traffic at 40% overall utilisation. All three kernel
+families below were measured slower than
+the XLA composition in-context; they remain as fully-tested opt-ins.
+The module provides:
 
   * a pure-jnp reference implementation (``_spec_forward``) defining the
     exact semantics (identical to the FourierUnit flax module's math);
@@ -269,24 +276,31 @@ def _kron_vmem_bytes(h: int, w: int, itemsize: int = 4) -> int:
 
 
 # Dispatch policy, decided by measurement (round 2, TPU v5e, bf16,
-# batch 64, full jitted fgan32 train step / jitted eval generate):
+# batch 64, full jitted train steps / jitted eval generate):
 #
-#   train img/s   eval-gen img/s
-#   XLA (jnp custom-VJP):      21457         49790
-#   Pallas kron <=32x32:       13107             -
-#   Pallas kron <=8x8 only:    21260         25523
-#   Pallas sep (per-item):     10956             -
+#   fgan32 train   fgan128 train   eval-gen
+#   XLA (jnp custom-VJP):      21443 img/s    728 img/s     49790
+#   Pallas kron <=32x32:       13107              -             -
+#   Pallas kron <=8x8 only:    21260              -         25523
+#   Pallas sep  (per-item):    10956              -             -
+#   Pallas sep2 (lane-dense):      -            636             -
 #
-# XLA's automatic fusion of the DFT-as-matmul composition beats the
-# hand-written kernels in-context: a jax.profiler trace of the XLA
-# step shows the FourierUnit accounts for only ~5% of device time at
-# 32px (conv fusions dominate; see BASELINE.md roofline notes), so a
-# fused FU cannot win more than that, while the per-batch-item grid
-# of these kernels makes each DFT matmul tiny and latency-bound
-# (5.8 ms/step vs XLA's 2.99). The Pallas path therefore defaults OFF
+# XLA's automatic fusion of the DFT-as-matmul composition beats every
+# hand-written family in-context, and the trace-based memory
+# accounting (tools/trace_hbm.py; BASELINE.md "trace-based roofline")
+# explains why the fusion premise cannot pay on this hardware: at 32px
+# the whole activation working set is VMEM-resident (S(1) buffers; HBM
+# traffic 0.22 GB/step = 14% of bandwidth incl. DMA), so the "saved"
+# intermediate round-trips were VMEM<->VMEM and near-free, while the
+# per-item Pallas grids add real latency (sep: tiny latency-bound
+# matmuls) or VPU relayout work (sep2: ~6 map-size f32 transposes per
+# item). At 128px the spectral (Wf=65) ops are 5.4% of leaf device
+# time and 10.9% of the 27 GB/step HBM traffic at 40% utilisation —
+# an upper bound of a few percent even for a perfect fusion, below
+# the kernels' own overheads. The Pallas path therefore defaults OFF
 # but stays fully tested (interpret-mode parity + gradient tests and
-# a real-hardware smoke in bench.py) and can be enabled
-# programmatically for future hardware where the balance differs.
+# a real-hardware smoke in bench.py) for future hardware where the
+# balance differs.
 
 _PALLAS_ENABLED = False
 # kernel family: "sep" = separable-DFT (factor matmuls + in-VMEM
@@ -303,7 +317,7 @@ def set_pallas_enabled(enabled: bool) -> None:
 
 
 def set_pallas_mode(mode: str) -> None:
-    assert mode in ("sep", "kron"), mode
+    assert mode in ("sep", "sep2", "kron"), mode
     global _PALLAS_MODE
     _PALLAS_MODE = mode
 
@@ -314,6 +328,8 @@ def _use_pallas(x) -> bool:
     if jax.default_backend() != "tpu":
         return False
     b, h, w, c = x.shape
+    if _PALLAS_MODE == "sep2":
+        return _sep2_fits(h, w, c)
     if _PALLAS_MODE == "sep":
         return (
             _sep_legal(h, w, c)
@@ -806,6 +822,476 @@ def _pallas_backward_sep(x, kernel, scale, bias, bmean, bvar, gy, train,
     )
 
 
+# --- sep2: lane-dense separable kernels (round 2, VERDICT items 3+5) --------
+#
+# The per-item "sep" family keeps channels in the lane dim, so maps
+# with 2C < 128 waste most of each VMEM tile and the small per-item
+# matmuls are latency-bound (measured 10.9k vs XLA's 21.4k img/s at
+# fgan32). This family reorganises every stage to keep the LANE dim
+# dense:
+#
+#   * DFT stages run on (C*H, W)- and (C*Wf_p, U)-shaped 2-D arrays
+#     whose lane dims are the spatial axes;
+#   * the spectral-row axis u is zero-padded to U = 128-ceil(H) by
+#     padding the H-factor matrices with zero rows, which makes the
+#     (C, Wf_p, U) -> (C, Wf_p*U) LANE merge Mosaic-legal (probed:
+#     merging a sublane dim into the lane dim requires the lane dim to
+#     be a multiple of 128) — the same annihilation argument as the
+#     Wf padding covers every direction, and BN statistics stay exact
+#     against the real count b*h*wf;
+#   * the channel mix then runs as one dense (2C, 2C) x (2C, Wf_p*U)
+#     matmul with channels as ROWS (sublane) and all spectral
+#     positions as LANES — full lane utilisation at any C;
+#   * relayouts stay f32 (sublane tile 8); every matmul operand is
+#     cast to bf16 at the dot boundary (probed legal), matching the
+#     XLA path's precision while running the MXU at native rate.
+#
+# The price is (U/H)x redundant H-transform/mix FLOPs for maps with
+# H < 128 — pure in-VMEM MXU work on an op whose cost is bytes.
+
+
+def _sep2_legal(h: int, w: int, c: int) -> bool:
+    return h % _SUBLANE == 0 and c % _SUBLANE == 0
+
+
+def _sep2_upad(h: int) -> int:
+    return -(-h // 128) * 128
+
+
+SEP2_MIX_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _sep2_mix_bytes(h: int, w: int, c: int) -> int:
+    """Size of one mix-stage (2C, Wf_p*U) f32 array — the dominant
+    VMEM class of the sep2 kernels. The admission rule (mix class
+    <= 8 MB AND h, w <= 128) is calibrated empirically on TPU v5e:
+    every FFC-ladder shape through (128, 128, 64) compiles and runs;
+    (256, 256, 16) does not."""
+    wfp = _pad8(w // 2 + 1)
+    u = _sep2_upad(h)
+    return 2 * c * wfp * u * 4
+
+
+def _sep2_fits(h: int, w: int, c: int) -> bool:
+    return (
+        _sep2_legal(h, w, c)
+        and h <= 128
+        and w <= 128
+        and _sep2_mix_bytes(h, w, c) <= SEP2_MIX_BUDGET_BYTES
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sep2_np_factors(h: int, w: int):
+    """(ahp, bhp, cw, dw, cmask_flat, cvals): H-factors zero-padded to
+    (U, H); W-factors zero-padded on Wf; cmask (Wf_p*U,) f32 carrying
+    the half-spectrum duplication weights, zero at padded v AND u."""
+    import numpy as np
+
+    ah, bh, cw, dw = fourier._forward_factors(h, w)
+    wf = w // 2 + 1
+    wfp = _pad8(wf)
+    u = _sep2_upad(h)
+    cw = np.pad(cw, ((0, 0), (0, wfp - wf)))
+    dw = np.pad(dw, ((0, 0), (0, wfp - wf)))
+    ahp = np.pad(ah, ((0, u - h), (0, 0)))
+    bhp = np.pad(bh, ((0, u - h), (0, 0)))
+    cvals = np.zeros((wfp,), np.float32)
+    cvals[:wf] = 2.0
+    cvals[0] = 1.0
+    if w % 2 == 0:
+        cvals[wf - 1] = 1.0
+    cmask = np.zeros((wfp, u), np.float32)
+    cmask[:, :h] = cvals[:, None]
+    return ahp, bhp, cw, dw, cmask.reshape(1, wfp * u), cvals
+
+
+# Dot-operand dtype for the sep2 family. bf16 is the design point (MXU
+# native rate; matches what the TPU backend does to f32 dots at default
+# matmul precision anyway). Tests set f32 to verify the kernel MATH
+# exactly against the f32 jnp reference, separating precision from
+# correctness.
+_SEP2_DOT_DTYPE = jnp.bfloat16
+
+
+def set_sep2_dot_dtype(dtype) -> None:
+    global _SEP2_DOT_DTYPE
+    _SEP2_DOT_DTYPE = dtype
+
+
+def _sep2_operands(x, kernel, scale, bias, mean, var):
+    b, h, w, c = x.shape
+    wf = w // 2 + 1
+    dt = x.dtype
+    ahp, bhp, cw, dw, cmask, cvals = _sep2_np_factors(h, w)
+    wfp = cw.shape[1]
+    u = ahp.shape[0]
+    bf = _SEP2_DOT_DTYPE
+    col = lambda a: a.astype(jnp.float32).reshape(2 * c, 1)
+    return (
+        b, h, w, c, wf, wfp, u, dt,
+        jnp.asarray(ahp, bf), jnp.asarray(bhp, bf),
+        jnp.asarray(cw, bf), jnp.asarray(dw, bf),
+        jnp.asarray(cmask), jnp.asarray(cvals.reshape(1, wfp)),
+        kernel.astype(bf),
+        col(scale), col(bias), col(mean), col(var),
+    )
+
+
+def _bf(a):
+    return a.astype(_SEP2_DOT_DTYPE)
+
+
+def _sep2_spectrum(x3, ahp, bhp, cw, dw, kern, h, w, c):
+    """x (H, W, C) -> (z (2C, Wf_p*U) bf16, m (2C, Wf_p*U) f32).
+
+    Same math as _sep_spectrum (W-transform, H-transform, mix) with
+    channels-as-rows in the mix; padded v/u positions are exactly zero
+    in z and hence in m."""
+    u = ahp.shape[0]
+    wfp = cw.shape[1]
+    xf = x3.astype(jnp.float32)
+    x2 = _bf(jnp.transpose(xf, (2, 0, 1)).reshape(c * h, w))
+    t_r = jnp.dot(x2, cw, preferred_element_type=jnp.float32)
+    t_i = jnp.dot(x2, dw, preferred_element_type=jnp.float32)
+    tov = lambda t: _bf(
+        jnp.transpose(t.reshape(c, h, wfp), (0, 2, 1)).reshape(c * wfp, h)
+    )
+    t_r2, t_i2 = tov(t_r), tov(t_i)
+    f_r = _dNT(t_r2, ahp) - _dNT(t_i2, bhp)  # (c*wfp, U) f32
+    f_i = _dNT(t_i2, ahp) + _dNT(t_r2, bhp)
+    lanes = lambda f: f.reshape(c, wfp, u).reshape(c, wfp * u)
+    z = _bf(jnp.concatenate([lanes(f_r), lanes(f_i)], axis=0))
+    m = _dT(kern, z)  # (2c, wfp*u) f32
+    return z, m
+
+
+def _sep2_inverse(r, ahp, bhp, cw, dw, h, w, c):
+    """r (2C, Wf_p*U) f32 [cmask applied] -> y (H, W, C) f32."""
+    u = ahp.shape[0]
+    wfp = cw.shape[1]
+    tou = lambda a: _bf(a.reshape(c, wfp, u).reshape(c * wfp, u))
+    r_re, r_im = tou(r[:c]), tou(r[c:])
+    p_r = jnp.dot(
+        r_re, ahp, preferred_element_type=jnp.float32
+    ) + jnp.dot(r_im, bhp, preferred_element_type=jnp.float32)
+    p_i = jnp.dot(
+        r_im, ahp, preferred_element_type=jnp.float32
+    ) - jnp.dot(r_re, bhp, preferred_element_type=jnp.float32)
+    tocp = lambda p: _bf(
+        jnp.transpose(p.reshape(c, wfp, h), (0, 2, 1)).reshape(c * h, wfp)
+    )
+    y2 = _dNT(tocp(p_r), cw) + _dNT(tocp(p_i), dw)  # (c*h, w) f32
+    return jnp.transpose(y2.reshape(c, h, w), (1, 2, 0))
+
+
+def _sep2_inverse_adjoint(gy3, ahp, bhp, cw, dw, crow, h, w, c):
+    """gy (H, W, C) -> gr (2C, Wf_p*U) f32 (zero at padded v/u)."""
+    u = ahp.shape[0]
+    wfp = cw.shape[1]
+    gy2 = _bf(
+        jnp.transpose(gy3.astype(jnp.float32), (2, 0, 1)).reshape(
+            c * h, w
+        )
+    )
+    gp_r = jnp.dot(gy2, cw, preferred_element_type=jnp.float32) * crow
+    gp_i = jnp.dot(gy2, dw, preferred_element_type=jnp.float32) * crow
+    tov = lambda t: _bf(
+        jnp.transpose(t.reshape(c, h, wfp), (0, 2, 1)).reshape(c * wfp, h)
+    )
+    gp_r2, gp_i2 = tov(gp_r), tov(gp_i)
+    gf_r = _dNT(gp_r2, ahp) - _dNT(gp_i2, bhp)
+    gf_i = _dNT(gp_r2, bhp) + _dNT(gp_i2, ahp)
+    lanes = lambda f: f.reshape(c, wfp, u).reshape(c, wfp * u)
+    return jnp.concatenate([lanes(gf_r), lanes(gf_i)], axis=0)
+
+
+def _sep2_forward_adjoint(gz, ahp, bhp, cw, dw, h, w, c):
+    """gz (2C, Wf_p*U) f32 -> gx (H, W, C) f32."""
+    u = ahp.shape[0]
+    wfp = cw.shape[1]
+    tou = lambda a: _bf(a.reshape(c, wfp, u).reshape(c * wfp, u))
+    g_r, g_i = tou(gz[:c]), tou(gz[c:])
+    gt_r = jnp.dot(
+        g_r, ahp, preferred_element_type=jnp.float32
+    ) + jnp.dot(g_i, bhp, preferred_element_type=jnp.float32)
+    gt_i = jnp.dot(
+        g_i, ahp, preferred_element_type=jnp.float32
+    ) - jnp.dot(g_r, bhp, preferred_element_type=jnp.float32)
+    tocp = lambda p: _bf(
+        jnp.transpose(p.reshape(c, wfp, h), (0, 2, 1)).reshape(c * h, wfp)
+    )
+    gx2 = _dNT(tocp(gt_r), cw) + _dNT(tocp(gt_i), dw)
+    return jnp.transpose(gx2.reshape(c, h, w), (1, 2, 0))
+
+
+# The (128,128,32+) apply kernels need slightly more than Mosaic's
+# default 16 MB scoped-vmem limit (measured 16.04 MB in-context);
+# physical VMEM is far larger, so raise the cap for the sep2 family.
+SEP2_VMEM_LIMIT = 32 * 1024 * 1024
+
+
+def _sep2_params(pltpu):
+    return pltpu.CompilerParams(vmem_limit_bytes=SEP2_VMEM_LIMIT)
+
+
+def _pallas_forward_sep2(x, kernel, scale, bias, mean, var, train,
+                         interpret: bool = False):
+    pl, pltpu = _pl()
+    (b, h, w, c, wf, wfp, u, dt, ahp, bhp, cw, dw, cmask, crow, kern,
+     scale_c, bias_c, mean_c, var_c) = _sep2_operands(
+        x, kernel, scale, bias, mean, var
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    factor_specs = [
+        const((u, h)), const((u, h)), const((w, wfp)), const((w, wfp)),
+    ]
+    x_len = wfp * u
+
+    if train:
+        def stats_kernel(x_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+                         s1_ref, s2_ref, acc1, acc2):
+            i = pl.program_id(0)
+            _, m = _sep2_spectrum(
+                x_ref[0], ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:],
+                k_ref[:], h, w, c,
+            )
+            s1 = jnp.sum(m, axis=1, keepdims=True)
+            s2 = jnp.sum(m * m, axis=1, keepdims=True)
+
+            @pl.when(i == 0)
+            def _():
+                acc1[:] = s1
+                acc2[:] = s2
+
+            @pl.when(i > 0)
+            def _():
+                acc1[:] = acc1[:] + s1
+                acc2[:] = acc2[:] + s2
+
+            s1_ref[:] = acc1[:]
+            s2_ref[:] = acc2[:]
+
+        sum_m, sum_m2 = pl.pallas_call(
+            stats_kernel,
+            grid=(b,),
+            in_specs=[per_b((h, w, c)), const((2 * c, 2 * c))]
+            + factor_specs,
+            out_specs=(const((2 * c, 1)), const((2 * c, 1))),
+            out_shape=(
+                jax.ShapeDtypeStruct((2 * c, 1), jnp.float32),
+                jax.ShapeDtypeStruct((2 * c, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * c, 1), jnp.float32),
+                pltpu.VMEM((2 * c, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_sep2_params(pltpu),
+        )(x, kern, ahp, bhp, cw, dw)
+        n = b * h * wf
+        bmean_c = sum_m / n
+        bvar_c = sum_m2 / n - bmean_c * bmean_c
+    else:
+        bmean_c, bvar_c = mean_c, var_c
+
+    def apply_kernel(x_ref, k_ref, s_ref, b_ref, m_ref, v_ref, cm_ref,
+                     ah_ref, bh_ref, cw_ref, dw_ref, y_ref):
+        _, m = _sep2_spectrum(
+            x_ref[0], ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:],
+            k_ref[:], h, w, c,
+        )
+        inv = jax.lax.rsqrt(v_ref[:] + EPS)
+        pre = (m - m_ref[:]) * inv * s_ref[:] + b_ref[:]
+        r = jnp.maximum(pre, 0.0) * cm_ref[:]
+        y_ref[0] = _sep2_inverse(
+            r, ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:], h, w, c
+        ).astype(dt)
+
+    y = pl.pallas_call(
+        apply_kernel,
+        grid=(b,),
+        in_specs=[
+            per_b((h, w, c)),
+            const((2 * c, 2 * c)),
+            const((2 * c, 1)),
+            const((2 * c, 1)),
+            const((2 * c, 1)),
+            const((2 * c, 1)),
+            const((1, x_len)),
+        ]
+        + factor_specs,
+        out_specs=per_b((h, w, c)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        interpret=interpret,
+        compiler_params=_sep2_params(pltpu),
+    )(x, kern, scale_c, bias_c, bmean_c, bvar_c, cmask, ahp, bhp, cw, dw)
+    return y, bmean_c.reshape(2 * c), bvar_c.reshape(2 * c)
+
+
+def _pallas_backward_sep2(x, kernel, scale, bias, bmean, bvar, gy, train,
+                          interpret: bool = False):
+    pl, pltpu = _pl()
+    (b, h, w, c, wf, wfp, u, dt, ahp, bhp, cw, dw, cmask, crow, kern,
+     scale_c, bias_c, mean_c, var_c) = _sep2_operands(
+        x, kernel, scale, bias, bmean, bvar
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    x_len = wfp * u
+
+    def recompute(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+                  cr_ref, s_ref, b_ref, m_ref, v_ref):
+        z, m = _sep2_spectrum(
+            x_ref[0], ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:],
+            k_ref[:], h, w, c,
+        )
+        inv = jax.lax.rsqrt(v_ref[:] + EPS)
+        n_hat = (m - m_ref[:]) * inv
+        pre = n_hat * s_ref[:] + b_ref[:]
+        mask = (pre > 0).astype(jnp.float32)
+        gr = _sep2_inverse_adjoint(
+            gy_ref[0], ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:],
+            cr_ref[:], h, w, c,
+        )
+        gpre = gr * mask
+        return z, n_hat, inv, gpre
+
+    in_specs_common = [
+        per_b((h, w, c)),
+        per_b((h, w, c)),
+        const((2 * c, 2 * c)),
+        const((u, h)),
+        const((u, h)),
+        const((w, wfp)),
+        const((w, wfp)),
+        const((1, wfp)),
+        const((2 * c, 1)),
+        const((2 * c, 1)),
+        const((2 * c, 1)),
+        const((2 * c, 1)),
+    ]
+
+    def stats_kernel(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref,
+                     dw_ref, cr_ref, s_ref, b_ref, m_ref, v_ref,
+                     gs_ref, gb_ref, gn_ref, gnn_ref,
+                     a1, a2, a3, a4):
+        i = pl.program_id(0)
+        _, n_hat, _, gpre = recompute(
+            x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+            cr_ref, s_ref, b_ref, m_ref, v_ref,
+        )
+        gn = gpre * s_ref[:]
+        rows = [
+            jnp.sum(gpre * n_hat, axis=1, keepdims=True),
+            jnp.sum(gpre, axis=1, keepdims=True),
+            jnp.sum(gn, axis=1, keepdims=True),
+            jnp.sum(gn * n_hat, axis=1, keepdims=True),
+        ]
+        for acc, row in zip((a1, a2, a3, a4), rows):
+            @pl.when(i == 0)
+            def _(acc=acc, row=row):
+                acc[:] = row
+
+            @pl.when(i > 0)
+            def _(acc=acc, row=row):
+                acc[:] = acc[:] + row
+        gs_ref[:] = a1[:]
+        gb_ref[:] = a2[:]
+        gn_ref[:] = a3[:]
+        gnn_ref[:] = a4[:]
+
+    gs, gb, sum_gn, sum_gnn = pl.pallas_call(
+        stats_kernel,
+        grid=(b,),
+        in_specs=in_specs_common,
+        out_specs=tuple(const((2 * c, 1)) for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((2 * c, 1), jnp.float32)
+            for _ in range(4)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * c, 1), jnp.float32) for _ in range(4)
+        ],
+        interpret=interpret,
+        compiler_params=_sep2_params(pltpu),
+    )(x, gy, kern, ahp, bhp, cw, dw, crow, scale_c, bias_c, mean_c,
+      var_c)
+
+    n = b * h * wf
+    mean_gn = sum_gn / n
+    mean_gnn = sum_gnn / n
+
+    def apply_kernel(x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref,
+                     dw_ref, cr_ref, s_ref, b_ref, m_ref, v_ref,
+                     mgn_ref, mgnn_ref, gx_ref, gk_ref, gk_acc):
+        i = pl.program_id(0)
+        z, n_hat, inv, gpre = recompute(
+            x_ref, gy_ref, k_ref, ah_ref, bh_ref, cw_ref, dw_ref,
+            cr_ref, s_ref, b_ref, m_ref, v_ref,
+        )
+        gn = gpre * s_ref[:]
+        if train:
+            gm = inv * (gn - mgn_ref[:] - n_hat * mgnn_ref[:])
+        else:
+            gm = gn * inv
+        gm_b = _bf(gm)
+        # gkernel[c, d] = sum_x z[c, x] gm[d, x]
+        gk_b = _dNT(z, gm_b)
+
+        @pl.when(i == 0)
+        def _():
+            gk_acc[:] = gk_b
+
+        @pl.when(i > 0)
+        def _():
+            gk_acc[:] = gk_acc[:] + gk_b
+
+        gk_ref[:] = gk_acc[:]
+        # gz[c, x] = sum_d kern[c, d] gm[d, x]
+        gz = jnp.dot(k_ref[:], gm_b, preferred_element_type=jnp.float32)
+        gx_ref[0] = _sep2_forward_adjoint(
+            gz, ah_ref[:], bh_ref[:], cw_ref[:], dw_ref[:], h, w, c
+        ).astype(dt)
+
+    gx, gk = pl.pallas_call(
+        apply_kernel,
+        grid=(b,),
+        in_specs=in_specs_common
+        + [const((2 * c, 1)), const((2 * c, 1))],
+        out_specs=(per_b((h, w, c)), const((2 * c, 2 * c))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, c), dt),
+            jax.ShapeDtypeStruct((2 * c, 2 * c), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * c, 2 * c), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_sep2_params(pltpu),
+    )(x, gy, kern, ahp, bhp, cw, dw, crow, scale_c, bias_c, mean_c,
+      var_c, mean_gn, mean_gnn)
+
+    zeros = jnp.zeros_like(bmean)
+    return (
+        gx,
+        gk.astype(kernel.dtype),
+        gs.reshape(2 * c),
+        gb.reshape(2 * c),
+        zeros,
+        zeros,
+    )
+
+
 def _prep_operands(x, kernel, scale, bias, mean, var):
     b, h, w, c = x.shape
     wf = w // 2 + 1
@@ -1093,23 +1579,27 @@ def _pallas_backward_kron(x, kernel, scale, bias, bmean, bvar, gy, train,
 
 
 
+_FWD_BY_MODE = {
+    "sep": _pallas_forward_sep,
+    "sep2": _pallas_forward_sep2,
+    "kron": _pallas_forward_kron,
+}
+_BWD_BY_MODE = {
+    "sep": _pallas_backward_sep,
+    "sep2": _pallas_backward_sep2,
+    "kron": _pallas_backward_kron,
+}
+
+
 def _pallas_forward(x, kernel, scale, bias, mean, var, train,
                     interpret: bool = False, mode: Optional[str] = None):
-    fn = (
-        _pallas_forward_sep
-        if (mode or _PALLAS_MODE) == "sep"
-        else _pallas_forward_kron
-    )
+    fn = _FWD_BY_MODE[mode or _PALLAS_MODE]
     return fn(x, kernel, scale, bias, mean, var, train, interpret=interpret)
 
 
 def _pallas_backward(x, kernel, scale, bias, bmean, bvar, gy, train,
                      interpret: bool = False, mode: Optional[str] = None):
-    fn = (
-        _pallas_backward_sep
-        if (mode or _PALLAS_MODE) == "sep"
-        else _pallas_backward_kron
-    )
+    fn = _BWD_BY_MODE[mode or _PALLAS_MODE]
     return fn(
         x, kernel, scale, bias, bmean, bvar, gy, train, interpret=interpret
     )

@@ -171,3 +171,82 @@ def test_sep_vmem_gate_admits_midsize_maps():
     assert fu._sep_vmem_bytes(64, 64, 32) <= fu.VMEM_BUDGET_BYTES
     assert fu._kron_vmem_bytes(64, 64) > fu.VMEM_BUDGET_BYTES
     assert fu._sep_vmem_bytes(32, 32, 8) <= fu.VMEM_BUDGET_BYTES
+
+
+# --- sep2 lane-dense kernel family (round 2) ---------------------------------
+
+
+@pytest.fixture
+def sep2_f32():
+    """Pin sep2's dot dtype to f32 so the tests verify kernel MATH
+    exactly; bf16 (the design point) is covered by the separate
+    precision-sanity test below and the bench hardware smoke."""
+    fu.set_sep2_dot_dtype(jnp.float32)
+    yield
+    fu.set_sep2_dot_dtype(jnp.bfloat16)
+
+
+@pytest.mark.slow
+def test_pallas_sep2_forward_matches_spec_interpret(sep2_f32):
+    """The spectral-row axis is padded to a lane multiple; padding must
+    be annihilated exactly (interpret mode; hardware parity is covered
+    by the bench smoke)."""
+    args = _make_inputs(b=2, h=8, w=8, c=8)
+    y1, m1, v1 = fu._pallas_forward_sep2(*args, True, interpret=True)
+    y2, m2, v2 = fu._spec_forward(*args, True)
+    scale = max(float(np.abs(np.asarray(y2)).max()), 1e-6)
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() / scale < 1e-5
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_sep2_backward_matches_jnp_backward_interpret(sep2_f32):
+    x, kernel, scale, bias, mean, var = _make_inputs(b=2, h=8, w=8, c=8)
+    _, bmean, bvar = fu._spec_forward(x, kernel, scale, bias, mean, var, True)
+    gy = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+    out_p = fu._pallas_backward_sep2(
+        x, kernel, scale, bias, bmean, bvar, gy, True, interpret=True
+    )
+    out_j = fu._jnp_backward(x, kernel, scale, bias, bmean, bvar, gy, True)
+    names = ("gx", "gkernel", "gscale", "gbias")
+    for a, b, name in zip(out_p[:4], out_j[:4], names):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 1e-4, name
+
+
+@pytest.mark.slow
+def test_pallas_sep2_bf16_precision_sane():
+    """At the bf16 design point the backward chains 3 bf16 dots vs the
+    f32 reference; worst-entry error stays under 10% and rms under 3%
+    (on TPU the f32 reference itself rounds to bf16 at default matmul
+    precision, so in-context divergence is far smaller)."""
+    x, kernel, scale, bias, mean, var = _make_inputs(b=2, h=8, w=8, c=8)
+    _, bmean, bvar = fu._spec_forward(x, kernel, scale, bias, mean, var, True)
+    gy = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+    out_p = fu._pallas_backward_sep2(
+        x, kernel, scale, bias, bmean, bvar, gy, True, interpret=True
+    )
+    out_j = fu._jnp_backward(x, kernel, scale, bias, bmean, bvar, gy, True)
+    for a, b, name in zip(out_p[:4], out_j[:4], ("gx", "gkernel", "gscale", "gbias")):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 1e-1, name
+        rms = float(np.sqrt(((a - b) ** 2).mean()) / np.sqrt((b**2).mean()))
+        assert rms < 3e-2, (name, rms)
+
+
+def test_sep2_gate_admits_ladder_shapes():
+    """Empirically-calibrated admission: every FFC-ladder FourierUnit
+    shape through (128,128,64) is in; 256px maps and non-8-multiple
+    channels fall back to XLA."""
+    for h, w, c in [
+        (16, 16, 16), (32, 32, 8), (16, 16, 64), (32, 32, 32),
+        (64, 64, 32), (128, 128, 32), (128, 128, 64),
+    ]:
+        assert fu._sep2_fits(h, w, c), (h, w, c)
+    assert not fu._sep2_fits(256, 256, 16)
+    assert not fu._sep2_fits(32, 32, 5)

@@ -112,7 +112,8 @@ def test_weight_paths_routed_by_extractor_identity(toy_extractors,
     seen = {}
     real_get = P.get_feature_extractor
 
-    def spy(name, features_list, weights_path=None, batch_size=128):
+    def spy(name, features_list, weights_path=None, batch_size=128,
+            mesh=None):
         seen[name] = weights_path
         # route to the toy factory regardless so no real weights load
         return real_get("toy-a" if name != "toy-b" else name,
