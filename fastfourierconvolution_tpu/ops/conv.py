@@ -50,11 +50,21 @@ def _pair(v) -> Tuple[int, int]:
 import os as _os
 
 _TAPMIX = _os.environ.get("FFC_TPU_TAPMIX", "1") != "0"  # A/B switch
+# store the per-tap partials bf16 instead of f32 (halves the bytes of
+# the tap-accumulation fusion — the 128px profile's add_tanh_fusion —
+# at one extra bf16 rounding per partial vs the direct conv's single
+# f32 MXU accumulation). Measured in-context before enabling.
+_TAPMIX_BF16 = _os.environ.get("FFC_TPU_TAPMIX_BF16", "0") != "0"
 
 
 def set_tapmix_enabled(enabled: bool) -> None:
     global _TAPMIX
     _TAPMIX = bool(enabled)
+
+
+def set_tapmix_bf16(enabled: bool) -> None:
+    global _TAPMIX_BF16
+    _TAPMIX_BF16 = bool(enabled)
 
 
 def _tapmix_applicable(x, kernel, sh, sw, ph, pw, dh, dw, groups) -> bool:
@@ -78,12 +88,15 @@ def _conv2d_tapmix(x, kernel, ph, pw):
     oh = h + 2 * ph - kh + 1
     ow = w + 2 * pw - kw + 1
     km = kernel.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
-    # keep the per-tap partials in f32: downcasting them to bf16 before
-    # the tap accumulation would add a rounding step the direct conv (one
-    # f32 MXU accumulation over ci AND taps) does not have
+    # default keeps the per-tap partials in f32: downcasting them to bf16
+    # before the tap accumulation adds a rounding step the direct conv
+    # (one f32 MXU accumulation over ci AND taps) does not have; the
+    # bf16 store is the opt-in bandwidth variant (gate above)
     z = jnp.dot(
         x.reshape(b * h * w, ci), km, preferred_element_type=jnp.float32
     )
+    if _TAPMIX_BF16:
+        z = z.astype(jnp.bfloat16)
     z = z.reshape(b, h, w, kh * kw, co)
     zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0), (0, 0)))
     y = jnp.zeros((b, oh, ow, co), jnp.float32)
@@ -141,6 +154,139 @@ def conv2d(
     return out.astype(compute_dtype()) if precision is None else out
 
 
+# conv-transpose lowering selector. "lhs" is XLA's input-dilated form;
+# its TPU lowering spends real time on data-formatting copies and
+# kernel reverses (the 128px profile: 8.5 ms copies + 1.9 ms reverse
+# per 86 ms step, BASELINE.md top-5 sinks). "subpixel" decomposes a
+# stride-s convT into s*s stride-1 phase convolutions + interleave
+# (exact, same FLOPs); "fusedk" embeds all phases into ONE stride-1
+# conv with s*s*Co outputs + depth-to-space (lane-dense MXU shape,
+# ceil(k/s)^2*s^2/k^2 x the FLOPs). Measured in-context on TPU v5e
+# (fgan128 train step, batch 64): see the table below conv_transpose2d.
+_CONVT_MODE = _os.environ.get("FFC_TPU_CONVT", "lhs")
+
+
+def set_convt_mode(mode: str) -> None:
+    assert mode in ("lhs", "subpixel", "fusedk"), mode
+    global _CONVT_MODE
+    _CONVT_MODE = mode
+
+
+def _phase_taps(k: int, s: int, pad: int, a: int):
+    """Phase-a decomposition of a 1-D stride-s transposed correlation.
+
+    out[m] = sum_r xd_pad[m+r] K[r] with xd the s-dilated, pad-padded
+    input. For m = s*q + a the taps satisfy r === (pad - a) (mod s) and
+    hit x[q + (a + r - pad)//s] — consecutive input offsets. Returns
+    (r0, n_taps, base) with base the first input offset.
+    """
+    r0 = (pad - a) % s
+    n = (k - r0 + s - 1) // s
+    base = (a + r0 - pad) // s
+    return r0, n, base
+
+
+def _convt_phase_geometry(h: int, k: int, s: int, p: int, op: int):
+    """Per-phase (pl, pr) paddings for equal-length phase outputs, or
+    None if the decomposition doesn't tile evenly."""
+    pad = k - 1 - p
+    out_len = (h - 1) * s - 2 * p + k + op
+    if out_len % s != 0:
+        return None
+    n_out = out_len // s
+    geo = []
+    for a in range(s):
+        r0, n_taps, base = _phase_taps(k, s, pad, a)
+        if n_taps == 0:
+            return None
+        pl = -base
+        pr = (n_out - 1 + base + n_taps - 1) - (h - 1)
+        if pl < 0 or pr < 0:
+            return None  # would need input cropping; fall back
+        geo.append((r0, n_taps, pl, pr))
+    return out_len, geo
+
+
+def _conv_transpose2d_subpixel(x, kernel, s, ph, pw, oph, opw):
+    """Exact stride-s convT as s*s stride-1 phase convs + interleave."""
+    b, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    gh = _convt_phase_geometry(h, kh, s, ph, oph)
+    gw = _convt_phase_geometry(w, kw, s, pw, opw)
+    oh, geo_h = gh
+    ow, geo_w = gw
+    rows = []
+    for a, (r0a, na, pla, pra) in enumerate(geo_h):
+        cols = []
+        for bb, (r0b, nb, plb, prb) in enumerate(geo_w):
+            kk = kernel[r0a::s][:na, r0b::s][:, :nb]
+            cols.append(
+                lax.conv_general_dilated(
+                    x,
+                    kk,
+                    window_strides=(1, 1),
+                    padding=((pla, pra), (plb, prb)),
+                    dimension_numbers=_DIMSPEC,
+                )
+            )
+        rows.append(jnp.stack(cols, axis=-2))  # (b, oh/s, ow/s, s, co)
+    y = jnp.stack(rows, axis=-3)  # (b, oh/s, ow/s, s_h, s_w, co)
+    y = y.reshape(b, oh // s, ow // s, s, s, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, oh, ow, co)
+
+
+def _conv_transpose2d_fusedk(x, kernel, s, ph, pw, oph, opw):
+    """Exact stride-s convT as ONE stride-1 conv with s*s*Co outputs
+    (phase sub-kernels embedded in a shared window) + depth-to-space.
+    Lane-dense on the MXU at the cost of the zero-embedded taps'
+    extra FLOPs (2.25x for k=4, s=2)."""
+    b, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    oh, geo_h = _convt_phase_geometry(h, kh, s, ph, oph)
+    ow, geo_w = _convt_phase_geometry(w, kw, s, pw, opw)
+    # common window span per dim: phase a's taps sit at input offsets
+    # [-pl_a, -pl_a + n_a - 1]; shift into a window starting at -PL
+    PLh = max(g[2] for g in geo_h)
+    PLw = max(g[2] for g in geo_w)
+    Lh = max(g[1] + (PLh - g[2]) for g in geo_h)
+    Lw = max(g[1] + (PLw - g[2]) for g in geo_w)
+    PRh = (oh // s - 1) + (Lh - 1 - PLh) - (h - 1)
+    PRw = (ow // s - 1) + (Lw - 1 - PLw) - (w - 1)
+    kbig = jnp.zeros((Lh, Lw, ci, s * s * co), kernel.dtype)
+    for a, (r0a, na, pla, _) in enumerate(geo_h):
+        for bb, (r0b, nb, plb, _) in enumerate(geo_w):
+            sub = kernel[r0a::s][:na, r0b::s][:, :nb]
+            kbig = lax.dynamic_update_slice(
+                kbig,
+                sub,
+                (PLh - pla, PLw - plb, 0, (a * s + bb) * co),
+            )
+    y = lax.conv_general_dilated(
+        x,
+        kbig,
+        window_strides=(1, 1),
+        padding=((PLh, max(PRh, 0)), (PLw, max(PRw, 0))),
+        dimension_numbers=_DIMSPEC,
+    )
+    y = y.reshape(b, oh // s, ow // s, s, s, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, oh, ow, co)
+
+
+def _convt_alt_applicable(x, kernel, sh, sw, dh, dw, groups, ph, pw,
+                          oph, opw) -> bool:
+    if _CONVT_MODE == "lhs" or sh != sw or sh <= 1:
+        return False
+    if (dh, dw) != (1, 1) or groups != 1:
+        return False
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    return (
+        _convt_phase_geometry(x.shape[1], kh, sh, ph, oph) is not None
+        and _convt_phase_geometry(x.shape[2], kw, sw, pw, opw) is not None
+    )
+
+
 def conv_transpose2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -182,6 +328,15 @@ def conv_transpose2d(
         x, kernel = cast_compute(x), cast_compute(kernel)
         if x.dtype != jnp.float32:
             preferred_element_type = None  # see conv2d note
+    if precision is None and _convt_alt_applicable(
+        x, kernel, sh, sw, dh, dw, groups, ph, pw, oph, opw
+    ):
+        fn = (
+            _conv_transpose2d_subpixel
+            if _CONVT_MODE == "subpixel"
+            else _conv_transpose2d_fusedk
+        )
+        return fn(x, kernel, sh, ph, pw, oph, opw).astype(compute_dtype())
     out = lax.conv_general_dilated(
         x,
         kernel,

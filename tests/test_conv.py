@@ -188,3 +188,89 @@ def test_global_avg_pool():
     np.testing.assert_allclose(
         conv.global_avg_pool(x), np.asarray(x).mean(axis=(1, 2)), atol=1e-6
     )
+
+
+# --- conv-transpose alternative lowerings (round 2) ---------------------------
+
+
+@pytest.fixture(params=["subpixel", "fusedk"])
+def convt_mode(request):
+    conv.set_convt_mode(request.param)
+    yield request.param
+    conv.set_convt_mode("lhs")
+
+
+@pytest.mark.parametrize(
+    "hw,k,s,p,op,ci,co",
+    [
+        (8, 4, 2, 1, 0, 16, 8),   # the FFC-ladder up-block geometry
+        (16, 4, 2, 1, 0, 8, 16),
+        (8, 4, 2, 2, 0, 8, 8),    # even output with p=2
+        (8, 2, 2, 0, 0, 8, 8),    # k == s (pure pixel-shuffle case)
+        (8, 6, 2, 1, 0, 4, 4),    # 3 taps per phase
+        (9, 3, 3, 0, 0, 4, 4),    # stride 3
+        (8, 4, 2, 1, 1, 8, 8),    # output_padding -> odd length: must
+                                  # fall back to lhs (gate rejects)
+    ],
+)
+def test_convt_alt_matches_lhs_dilated(convt_mode, hw, k, s, p, op, ci, co):
+    """The phase-decomposed lowerings must be EXACT (same contractions,
+    reassociated) vs the lhs-dilated reference form in f32; geometries
+    the gate rejects must still produce correct results via fallback."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, hw, hw, ci), jnp.float32)
+    kern = jnp.asarray(rng.randn(k, k, ci, co), jnp.float32)
+    out_len = (hw - 1) * s - 2 * p + k + op
+    assert conv._convt_alt_applicable(
+        x, kern, s, s, 1, 1, 1, p, p, op, op
+    ) == (out_len % s == 0)
+    got = conv.conv_transpose2d(
+        x, kern, stride=s, padding=p, output_padding=op, precision="highest"
+    )
+    conv.set_convt_mode("lhs")
+    want = conv.conv_transpose2d(
+        x, kern, stride=s, padding=p, output_padding=op, precision="highest"
+    )
+    conv.set_convt_mode(convt_mode)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_convt_alt_gradients_match(convt_mode):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8), jnp.float32)
+    kern = jnp.asarray(rng.randn(4, 4, 8, 4), jnp.float32)
+
+    def loss(x, k):
+        y = conv.conv_transpose2d(
+            x, k, stride=2, padding=1, precision="highest"
+        )
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+    gx, gk = jax.grad(loss, argnums=(0, 1))(x, kern)
+    conv.set_convt_mode("lhs")
+    gx2, gk2 = jax.grad(loss, argnums=(0, 1))(x, kern)
+    conv.set_convt_mode(convt_mode)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2), rtol=1e-5, atol=1e-4)
+
+
+def test_convt_alt_gate_rejects_unsupported():
+    x = jnp.zeros((1, 8, 8, 4))
+    conv.set_convt_mode("subpixel")
+    try:
+        # stride 1: nothing to decompose
+        assert not conv._convt_alt_applicable(
+            x, jnp.zeros((4, 4, 4, 4)), 1, 1, 1, 1, 1, 1, 1, 0, 0
+        )
+        # grouped
+        assert not conv._convt_alt_applicable(
+            x, jnp.zeros((4, 4, 2, 4)), 2, 2, 1, 1, 2, 1, 1, 0, 0
+        )
+        # dilated
+        assert not conv._convt_alt_applicable(
+            x, jnp.zeros((4, 4, 4, 4)), 2, 2, 2, 2, 1, 1, 1, 0, 0
+        )
+    finally:
+        conv.set_convt_mode("lhs")
