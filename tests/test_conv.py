@@ -274,3 +274,46 @@ def test_convt_alt_gate_rejects_unsupported():
         )
     finally:
         conv.set_convt_mode("lhs")
+
+
+@pytest.mark.parametrize("mode", ["subpixel", "fusedk"])
+def test_convt_mode_model_level_equivalence(mode, monkeypatch):
+    """The 64px FFC generator's up-blocks are k4 s2 p1 convTs — the
+    alternative lowerings must leave the full model forward unchanged,
+    and must actually engage."""
+    from fastfourierconvolution_tpu.models import FFCGenerator
+
+    g = FFCGenerator.for_resolution(64, z_size=32, ngf=32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+    variables = g.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        z, True,
+    )
+
+    calls = []
+    real_sub = conv._conv_transpose2d_subpixel
+    real_fused = conv._conv_transpose2d_fusedk
+    monkeypatch.setattr(
+        conv, "_conv_transpose2d_subpixel",
+        lambda *a, **kw: (calls.append(1), real_sub(*a, **kw))[1],
+    )
+    monkeypatch.setattr(
+        conv, "_conv_transpose2d_fusedk",
+        lambda *a, **kw: (calls.append(1), real_fused(*a, **kw))[1],
+    )
+
+    def fwd():
+        return g.apply(
+            variables, z, False, rngs={"noise": jax.random.PRNGKey(3)}
+        )
+
+    conv.set_convt_mode(mode)
+    try:
+        out_alt = fwd()
+    finally:
+        conv.set_convt_mode("lhs")
+    assert calls, f"{mode} never engaged — test would be vacuous"
+    out_ref = fwd()
+    np.testing.assert_allclose(
+        np.asarray(out_alt), np.asarray(out_ref), atol=5e-4, rtol=5e-4
+    )
