@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -56,7 +57,59 @@ TPU_V5E_BF16_PEAK = 197e12  # FLOP/s
 TPU_V5E_HBM_BW = 819e9  # B/s
 
 
+_PREFLIGHT_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
+    "print(jax.default_backend())"
+)
+
+
+def _backend_preflight(timeout_s: float):
+    """Probe backend availability in a bounded subprocess.
+
+    The axon-tunnelled TPU's failure mode is a ~25-minute block inside
+    backend init followed by UNAVAILABLE (BASELINE.md round-2 tail);
+    without this bound, a tunnel outage burns the driver's whole bench
+    budget and records an undifferentiated rc=1 traceback
+    (BENCH_r02.json). Returns (ok, detail).
+    """
+    code = os.environ.get("FFC_TPU_BENCH_PREFLIGHT_CODE", _PREFLIGHT_CODE)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s:.0f}s"
+    if r.returncode == 0:
+        return True, r.stdout.strip().splitlines()[-1] if r.stdout else ""
+    tail = (r.stderr or "").strip().splitlines()
+    return False, (tail[-1] if tail else f"probe rc={r.returncode}")[-300:]
+
+
 def main() -> None:
+    # Bounded availability preflight: on an unreachable backend, emit a
+    # self-describing skip marker with rc 0 so BENCH_r*.json artifacts
+    # distinguish "chip down" from "code broken". FFC_TPU_BENCH_PREFLIGHT=0
+    # disables (runs straight into backend init, previous behavior).
+    if os.environ.get("FFC_TPU_BENCH_PREFLIGHT", "1") != "0":
+        timeout_s = float(
+            os.environ.get("FFC_TPU_BENCH_PREFLIGHT_TIMEOUT", "240")
+        )
+        ok, detail = _backend_preflight(timeout_s)
+        if not ok:
+            print(json.dumps({
+                "metric": METRIC.format(
+                    res=os.environ.get("FFC_TPU_BENCH_RES", "32")
+                ),
+                "value": 0,
+                "unit": "img/s",
+                "vs_baseline": 0,
+                "skipped": "backend-unavailable",
+                "detail": detail,
+            }))
+            return
+
     import jax
     import jax.numpy as jnp
 

@@ -134,3 +134,25 @@ def test_driver_steps_per_call_chunked(tmp_path):
     assert len(rows) == 2  # logged at steps 2 and 4 (post-chunk)
     assert all(np.isfinite(r["loss_g"]) for r in rows)
     assert os.path.exists(os.path.join(logs, "000004.png"))
+
+
+def test_bench_preflight_outage_marker():
+    """bench.py on an unreachable backend must emit a self-describing
+    skip marker with rc 0 (VERDICT r2 item 6) instead of burning the
+    driver's budget in backend init and crashing rc=1."""
+    import json as _json
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["FFC_TPU_BENCH_PREFLIGHT_CODE"] = "import time; time.sleep(60)"
+    env["FFC_TPU_BENCH_PREFLIGHT_TIMEOUT"] = "2"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo_root, "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    row = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["skipped"] == "backend-unavailable"
+    assert row["vs_baseline"] == 0 and row["value"] == 0

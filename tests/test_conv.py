@@ -200,6 +200,25 @@ def convt_mode(request):
     conv.set_convt_mode("lhs")
 
 
+def _count_alt_engagements(monkeypatch):
+    """Instrument both alt lowerings so tests can assert they actually
+    ran (the dispatch gate requires precision=None — passing
+    precision='highest' silently falls back to lhs and the comparison
+    becomes lhs-vs-lhs, which round 2's tests did; ADVICE r2)."""
+    calls = []
+    real_sub = conv._conv_transpose2d_subpixel
+    real_fused = conv._conv_transpose2d_fusedk
+    monkeypatch.setattr(
+        conv, "_conv_transpose2d_subpixel",
+        lambda *a, **kw: (calls.append("subpixel"), real_sub(*a, **kw))[1],
+    )
+    monkeypatch.setattr(
+        conv, "_conv_transpose2d_fusedk",
+        lambda *a, **kw: (calls.append("fusedk"), real_fused(*a, **kw))[1],
+    )
+    return calls
+
+
 @pytest.mark.parametrize(
     "hw,k,s,p,op,ci,co",
     [
@@ -213,42 +232,48 @@ def convt_mode(request):
                                   # fall back to lhs (gate rejects)
     ],
 )
-def test_convt_alt_matches_lhs_dilated(convt_mode, hw, k, s, p, op, ci, co):
+def test_convt_alt_matches_lhs_dilated(convt_mode, hw, k, s, p, op, ci, co,
+                                       monkeypatch):
     """The phase-decomposed lowerings must be EXACT (same contractions,
-    reassociated) vs the lhs-dilated reference form in f32; geometries
-    the gate rejects must still produce correct results via fallback."""
+    reassociated) vs the lhs-dilated reference form in f32 (default
+    precision, engaging the real dispatch path); geometries the gate
+    rejects must still produce correct results via fallback."""
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, hw, hw, ci), jnp.float32)
     kern = jnp.asarray(rng.randn(k, k, ci, co), jnp.float32)
     out_len = (hw - 1) * s - 2 * p + k + op
+    applicable = out_len % s == 0
     assert conv._convt_alt_applicable(
         x, kern, s, s, 1, 1, 1, p, p, op, op
-    ) == (out_len % s == 0)
-    got = conv.conv_transpose2d(
-        x, kern, stride=s, padding=p, output_padding=op, precision="highest"
+    ) == applicable
+    calls = _count_alt_engagements(monkeypatch)
+    got = conv.conv_transpose2d(x, kern, stride=s, padding=p,
+                                output_padding=op)
+    assert bool(calls) == applicable, (
+        f"{convt_mode} engagement mismatch: calls={calls}, "
+        f"applicable={applicable}"
     )
     conv.set_convt_mode("lhs")
-    want = conv.conv_transpose2d(
-        x, kern, stride=s, padding=p, output_padding=op, precision="highest"
-    )
+    want = conv.conv_transpose2d(x, kern, stride=s, padding=p,
+                                 output_padding=op)
     conv.set_convt_mode(convt_mode)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
     )
 
 
-def test_convt_alt_gradients_match(convt_mode):
+def test_convt_alt_gradients_match(convt_mode, monkeypatch):
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(2, 8, 8, 8), jnp.float32)
     kern = jnp.asarray(rng.randn(4, 4, 8, 4), jnp.float32)
 
     def loss(x, k):
-        y = conv.conv_transpose2d(
-            x, k, stride=2, padding=1, precision="highest"
-        )
+        y = conv.conv_transpose2d(x, k, stride=2, padding=1)
         return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
 
+    calls = _count_alt_engagements(monkeypatch)
     gx, gk = jax.grad(loss, argnums=(0, 1))(x, kern)
+    assert calls, f"{convt_mode} never engaged — test would be vacuous"
     conv.set_convt_mode("lhs")
     gx2, gk2 = jax.grad(loss, argnums=(0, 1))(x, kern)
     conv.set_convt_mode(convt_mode)
