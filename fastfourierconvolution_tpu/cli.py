@@ -480,9 +480,10 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
     class-stratified when conditional, uint8 convention; ``per_sample``
     saves individual PNGs like test_cond.py:142-146).
 
-    ``torch_checkpoint``: a REFERENCE-repo .pth (FGenerator state dict
-    or the FFCModel container) migrated via compat.convert_fgan_generator
-    — sample directly from checkpoints trained with the PyTorch repo."""
+    ``torch_checkpoint``: a REFERENCE-repo .pth (FGenerator /
+    FCondGenerator state dict or the FFCModel container) migrated via
+    compat.convert_fgan_generator / convert_fcond_generator — sample
+    directly from checkpoints trained with the PyTorch repo."""
     if num_samples < 1:
         raise SystemExit("sample: --num_samples must be >= 1")
     import jax
@@ -509,14 +510,19 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
     )
     state = trainer.init(jax.random.PRNGKey(0), sample)
     if torch_checkpoint is not None:
-        if cfg.model.generator != "ffc":
+        if cfg.model.generator == "ffc":
+            from .compat import convert_fgan_generator as _convert
+        elif cfg.model.generator == "ffc_cond":
+            from .compat import convert_fcond_generator as _convert
+        else:
             raise SystemExit(
-                "sample: --torch_checkpoint supports the flagship 'ffc' "
-                "generator (reference FGenerator checkpoints)"
+                "sample: --torch_checkpoint supports the 'ffc' generator "
+                "(reference FGenerator checkpoints) and the 'ffc_cond' "
+                "generator (reference FCondGenerator / FCondGeneratorSTL "
+                "checkpoints)"
             )
-        from .compat import convert_fgan_generator
 
-        variables = convert_fgan_generator(torch_checkpoint, mg=cfg.model.mg)
+        variables = _convert(torch_checkpoint, mg=cfg.model.mg)
         state = state.replace(
             g=state.g.replace(
                 params=variables["params"],

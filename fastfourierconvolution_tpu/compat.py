@@ -148,6 +148,26 @@ def _ffc_bn_act(sd, prefix: str, params: Dict, stats: Dict,
                 _bn(sd, f"{prefix}.{side}", p, s)
                 params[side] = {"BatchNorm_0": p}
                 stats[side] = {"BatchNorm_0": s}
+            elif f"{prefix}.{side}.embed.weight" in sd:
+                # class-conditional BN (reference layers/cond/cond_bn.py:
+                # Embedding(num_classes, 2C) = [gamma; beta] chunks +
+                # affine-free BatchNorm2d running stats) -> this
+                # framework's ConditionalBatchNorm {gamma, beta} params
+                # and BatchNorm_0 batch_stats
+                emb = _np(sd[f"{prefix}.{side}.embed.weight"])
+                c = emb.shape[1] // 2
+                params[side] = {
+                    "gamma": jnp.asarray(emb[:, :c]),
+                    "beta": jnp.asarray(emb[:, c:]),
+                }
+                stats[side] = {"BatchNorm_0": {
+                    "mean": jnp.asarray(
+                        _np(sd[f"{prefix}.{side}.bn.running_mean"])
+                    ),
+                    "var": jnp.asarray(
+                        _np(sd[f"{prefix}.{side}.bn.running_var"])
+                    ),
+                }}
 
 
 def convert_fgan_generator(
@@ -164,6 +184,39 @@ def convert_fgan_generator(
     lcl/glb_noise{i+2} -> lcl/glb_noise{i}.
     """
     sd = load_reference_checkpoint(path_or_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    params["noise_to_feature"] = _dense_stem_nchw(
+        sd, "noise_to_feature.0", mg
+    )
+    _convert_ffc_ladder(sd, params, stats, num_blocks)
+    return {"params": params, "batch_stats": stats}
+
+
+def _dense_stem_nchw(sd, prefix: str, mg: int) -> Dict:
+    """Linear stem (out, in) -> (in, out) with the reshape permutation:
+    torch reshapes the output vector to NCHW (C, mg, mg); ours to NHWC
+    (mg, mg, C) — fold the (c,h,w)->(h,w,c) reorder into the kernel."""
+    w = _np(sd[f"{prefix}.weight"])  # (out, in)
+    b = _np(sd[f"{prefix}.bias"])
+    out_dim = w.shape[0]
+    ch = out_dim // (mg * mg)
+    j = np.arange(out_dim)
+    h, wpos, c = j // (mg * ch), (j // ch) % mg, j % ch
+    torch_idx = c * mg * mg + h * mg + wpos
+    return {
+        "kernel": jnp.asarray(w[torch_idx, :].T),
+        "bias": jnp.asarray(b[torch_idx]),
+    }
+
+
+def _convert_ffc_ladder(
+    sd, params: Dict, stats: Dict, num_blocks: Optional[int] = None
+) -> None:
+    """conv2..conv{N+1} FFC up-blocks + the conv{N+2} to-RGB tail and
+    their per-block noise injections — the body shared by every script
+    FGenerator variant, conditional or not (reference
+    fgan_complete.py:92-134, fgan_cond_complete.py:42-110)."""
     if num_blocks is None:
         idx = sorted(
             int(k.split(".")[0][4:])
@@ -172,23 +225,6 @@ def convert_fgan_generator(
         )
         assert idx and idx[0] == 2, f"unrecognised FGenerator keys: {idx}"
         num_blocks = len(idx) - 1  # the last conv is the to-RGB tail
-    params: Dict = {}
-    stats: Dict = {}
-
-    # stem: Linear (out, in) -> (in, out) with the reshape permutation:
-    # torch reshapes the 8192-vector to NCHW (C, mg, mg); ours to NHWC
-    # (mg, mg, C) — fold the (c,h,w)->(h,w,c) reorder into the kernel
-    w = _np(sd["noise_to_feature.0.weight"])  # (out, in)
-    b = _np(sd["noise_to_feature.0.bias"])
-    out_dim = w.shape[0]
-    ch = out_dim // (mg * mg)
-    j = np.arange(out_dim)
-    h, wpos, c = j // (mg * ch), (j // ch) % mg, j % ch
-    torch_idx = c * mg * mg + h * mg + wpos
-    params["noise_to_feature"] = {
-        "kernel": jnp.asarray(w[torch_idx, :].T),
-        "bias": jnp.asarray(b[torch_idx]),
-    }
 
     for i in range(num_blocks):
         p: Dict = {}
@@ -197,10 +233,10 @@ def convert_fgan_generator(
         params[f"block{i}"] = p
         if s:
             stats[f"block{i}"] = s
-        for side, ours in (("lcl", "lcl"), ("glb", "glb")):
+        for side in ("lcl", "glb"):
             key = f"{side}_noise{i + 2}.weight"
             if key in sd:
-                params[f"{ours}_noise{i}"] = {
+                params[f"{side}_noise{i}"] = {
                     "weight": jnp.asarray(
                         _np(sd[key]).reshape(1, 1, 1, -1)
                     )
@@ -213,7 +249,66 @@ def convert_fgan_generator(
     params["to_rgb"] = p
     if s:
         stats["to_rgb"] = s
+
+
+def convert_fcond_generator(
+    path_or_dict, mg: int = 4, num_blocks: Optional[int] = None
+) -> Dict:
+    """Reference conditional ``FCondGenerator`` state dict ->
+    :class:`models.FFCCondGenerator` variables ({params, batch_stats}).
+
+    Handles both script stems (reference fgan_cond_complete.py):
+
+      * ConvT stem (:63-93): ``label_embed`` -> ``label_conv``
+        ConvT(4,1,0)+BN+GELU; z -> ``input_conv`` twin; channel concat —
+        also the fgan128_cond_complete.py:75-105 layout;
+      * dense stem (``FCondGeneratorSTL`` :117-186): concat(z, embed) ->
+        ``noise_to_feature`` Linear.
+
+    The FFC ladder (conv2..conv4 + conv5 tail, class-conditional BN)
+    maps through the shared :func:`_convert_ffc_ladder`.
+    """
+    sd = load_reference_checkpoint(path_or_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    params["label_embed"] = jnp.asarray(_np(sd["label_embed.weight"]))
+    if "input_conv.0.weight" in sd:
+        for name in ("label_conv", "input_conv"):
+            params[name] = {
+                "kernel": _convt(sd, f"{name}.0.weight"),
+                "bias": jnp.asarray(_np(sd[f"{name}.0.bias"])),
+            }
+        for ours, theirs in (
+            ("label_bn", "label_conv.1"), ("input_bn", "input_conv.1")
+        ):
+            p, s = {}, {}
+            _bn(sd, theirs, p, s)
+            params[ours] = {"BatchNorm_0": p}
+            stats[ours] = {"BatchNorm_0": s}
+    elif "noise_to_feature.weight" in sd:
+        params["noise_to_feature"] = _dense_stem_nchw(
+            sd, "noise_to_feature", mg
+        )
+    else:
+        raise ValueError(
+            "unrecognised conditional-generator stem: expected "
+            "input_conv.0.weight (ConvT stem) or noise_to_feature.weight "
+            "(dense STL stem)"
+        )
+    _convert_ffc_ladder(sd, params, stats, num_blocks)
     return {"params": params, "batch_stats": stats}
+
+
+def convert_cond_sn_discriminator(path_or_dict, mg: int = 4) -> Dict:
+    """Reference conditional SN ``Discriminator``
+    (fgan_cond_complete.py:189-227: 7 SN convs + SN fc + a label
+    embedding reshaped to one extra image plane) ->
+    :class:`models.CondSNDiscriminator` variables
+    ({params, spectral})."""
+    sd = load_reference_checkpoint(path_or_dict)
+    out = convert_sn_discriminator(sd, mg=mg)
+    out["params"]["label_embed"] = jnp.asarray(_np(sd["label_embed.weight"]))
+    return out
 
 
 def convert_sn_discriminator(path_or_dict, mg: int = 4) -> Dict:

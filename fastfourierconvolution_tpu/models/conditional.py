@@ -65,6 +65,11 @@ class FFCCondGenerator(nn.Module):
     # (conditional) BN; the library-path ffc_cond_generator.py leaves
     # FFC_BN_ACT's norm_layer at nn.Identity — select "identity" there
     block_norm: str = "batch"
+    # conditional BN inside the spectral FourierUnit — a beyond-reference
+    # opt-in (the reference's FU conditional path is dead code that
+    # crashes when exercised, fourier_unity.py:25-28,47); default off =
+    # reference-parity semantics, required for checkpoint migration
+    cond_spectral_bn: bool = False
     impl: Optional[str] = None
 
     @nn.compact
@@ -116,6 +121,7 @@ class FFCCondGenerator(nn.Module):
                 activation="gelu",
                 upsampling=True,
                 num_classes=nclass,
+                cond_spectral_bn=self.cond_spectral_bn,
                 impl=self.impl,
                 name=f"block{i}",
             )(feat, train, y if nclass > 1 else None)
@@ -215,6 +221,7 @@ class FFCCondDiscriminator(nn.Module):
     num_classes: int = 10
     ratio_g: float = 0.25
     noise_stddev: float = 0.05
+    cond_spectral_bn: bool = False  # see FFCCondGenerator.cond_spectral_bn
     impl: Optional[str] = None
 
     @nn.compact
@@ -249,6 +256,7 @@ class FFCCondDiscriminator(nn.Module):
                 norm="batch",
                 activation="leaky_relu",
                 num_classes=self.num_classes,
+                cond_spectral_bn=self.cond_spectral_bn,
                 impl=self.impl,
                 name=f"block{i}",
             )(feat, train, y)

@@ -251,6 +251,13 @@ class FFC(nn.Module):
     use_bias: bool = False
     enable_lfu: bool = False
     num_classes: int = 0
+    # class-conditional BN inside the spectral FourierUnit. The
+    # reference's only WORKING conditional BN is the per-branch
+    # bn_l/bn_g (ffc_bn_act.py:56-58); its FourierUnit conditional path
+    # is dead code that crashes if exercised (fourier_unity.py:25-28,47
+    # — plain BatchNorm2d called with a label). Default False = the
+    # reference's working semantics; True is a beyond-reference opt-in.
+    cond_spectral_bn: bool = False
     use_sn: bool = False
     impl: Optional[str] = None
 
@@ -299,7 +306,9 @@ class FFC(nn.Module):
                 groups=1 if self.groups == 1 else self.groups // 2,
                 enable_lfu=self.enable_lfu,
                 upsample=False,
-                num_classes=self.num_classes,
+                num_classes=(
+                    self.num_classes if self.cond_spectral_bn else 0
+                ),
                 impl=self.impl,
                 name="convg2g",
             )
@@ -351,6 +360,7 @@ class FFCTranspose(nn.Module):
     use_bias: bool = False
     enable_lfu: bool = False
     num_classes: int = 0
+    cond_spectral_bn: bool = False  # see FFC.cond_spectral_bn
     use_sn: bool = False
     impl: Optional[str] = None
 
@@ -396,7 +406,9 @@ class FFCTranspose(nn.Module):
                 groups=1 if self.groups == 1 else self.groups // 2,
                 enable_lfu=self.enable_lfu,
                 upsample=True,
-                num_classes=self.num_classes,
+                num_classes=(
+                    self.num_classes if self.cond_spectral_bn else 0
+                ),
                 impl=self.impl,
                 name="convg2g",
             )
@@ -457,6 +469,7 @@ class FFC_BN_ACT(nn.Module):
     upsampling: bool = False
     use_sn: bool = False
     num_classes: int = 0
+    cond_spectral_bn: bool = False  # see FFC.cond_spectral_bn
     impl: Optional[str] = None
 
     @nn.compact
@@ -478,6 +491,7 @@ class FFC_BN_ACT(nn.Module):
                 use_bias=self.use_bias,
                 enable_lfu=self.enable_lfu,
                 num_classes=self.num_classes,
+                cond_spectral_bn=self.cond_spectral_bn,
                 use_sn=self.use_sn,
                 impl=self.impl,
                 name="ffc",
@@ -496,6 +510,7 @@ class FFC_BN_ACT(nn.Module):
                 use_bias=self.use_bias,
                 enable_lfu=self.enable_lfu,
                 num_classes=self.num_classes,
+                cond_spectral_bn=self.cond_spectral_bn,
                 use_sn=self.use_sn,
                 impl=self.impl,
                 name="ffc",

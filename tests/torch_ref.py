@@ -317,3 +317,122 @@ def install_reference_repo():
     exec(src[src.index("class FGenerator"):src.index("class FDiscriminator")], ns)
     ns["layers"] = layers
     return ns
+
+
+def install_reference_cond():
+    """Exec the reference fgan_cond_complete.py conditional classes
+    (FCondGenerator, FCondGeneratorSTL, the label-plane SN Discriminator,
+    FDiscriminator; reference fgan_cond_complete.py:33-274) over the
+    reference layers package and return the namespace."""
+    ns = install_reference_repo()
+    layers = ns["layers"]
+    # Reference bug (SURVEY §1 class, newly catalogued round 3):
+    # FourierUnitSN.forward calls `self.bn(ffted, y)` when y is not None
+    # (fourier_unity.py:47), but self.bn is a plain BatchNorm2d — the
+    # conditional-BN branch is commented out (fourier_unity.py:25-28) —
+    # so the reference FCondGenerator crashes with a TypeError whenever
+    # labels reach a g2g branch (every block with ratio_gin > 0, i.e.
+    # conv3 onward). The *intended* semantics per the commented code is
+    # plain BN with labels ignored inside the FourierUnit, which is what
+    # this framework implements; patch the reference to its intended
+    # behavior for golden comparisons.
+    if not getattr(layers.FourierUnitSN, "_cond_bug_patched", False):
+        _orig_fu_fwd = layers.FourierUnitSN.forward
+
+        def _fu_fwd_intended(self, x, y=None):
+            return _orig_fu_fwd(self, x, None)
+
+        layers.FourierUnitSN.forward = _fu_fwd_intended
+        layers.FourierUnitSN._cond_bug_patched = True
+    src = open(f"{REFERENCE_ROOT}/fgan_cond_complete.py").read()
+    ns2 = {
+        "torch": torch,
+        "nn": nn,
+        "FFC_BN_ACT": layers.FFC_BN_ACT,
+        "NoiseInjection": layers.NoiseInjection,
+        "ConditionalBatchNorm2d": layers.ConditionalBatchNorm2d,
+        "GaussianNoise": layers.GaussianNoise,
+        "FFCModel": ns["FFCModel"],
+    }
+    exec(
+        src[src.index("class FCondGenerator"):src.index("def hinge_loss_dis")],
+        ns2,
+    )
+    return ns2
+
+
+def calibrated_inception_state_dict(
+    ref: nn.Module, calib_images: np.ndarray, seed: int = 0,
+    batch_size: int = 64, rounds: int = 2,
+) -> dict:
+    """Variance-preserving seeded weights for the reference InceptionV3.
+
+    ``seeded_state_dict``'s N(0, 0.05) draws collapse the deep taps of a
+    94-layer trunk (near-degenerate 2048-d covariances amplify 1e-3
+    feature noise into ~24% FID disagreement — VERDICT r2 missing-3).
+    This scheme keeps every depth non-degenerate WITHOUT downloadable
+    weights:
+
+      * conv / fc kernels: orthogonal rows (QR of a seeded Gaussian),
+        gain sqrt(2) on the BN+ReLU trunk, 1.0 on the logits head;
+      * BN scale ~ U(0.9, 1.1), bias ~ N(0, 0.05);
+      * BN running stats CALIBRATED to the actual activation
+        distribution: momentum=None (cumulative average) + train-mode
+        forwards over ``calib_images`` (uint8 NHWC), so eval-mode
+        normalisation reproduces the calibrated scale at every layer.
+
+    The returned state dict is shared bit-exactly with this framework's
+    converter for end-to-end metric A/Bs.
+    """
+    import torch
+
+    rng = np.random.RandomState(seed)
+
+    def _orth(rows: int, cols: int, gain: float) -> np.ndarray:
+        a = rng.randn(max(rows, cols), min(rows, cols))
+        q, r = np.linalg.qr(a)
+        q = q * np.sign(np.diag(r))[None, :]
+        if rows < cols:
+            q = q.T
+        return (gain * q[:rows, :cols]).astype(np.float32)
+
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                o = m.weight.shape[0]
+                fan = m.weight[0].numel()
+                m.weight.copy_(
+                    torch.from_numpy(_orth(o, fan, np.sqrt(2.0))).reshape(
+                        m.weight.shape
+                    )
+                )
+                if m.bias is not None:
+                    m.bias.zero_()
+            elif isinstance(m, torch.nn.Linear):
+                m.weight.copy_(torch.from_numpy(
+                    _orth(m.weight.shape[0], m.weight.shape[1], 1.0)
+                ))
+                if m.bias is not None:
+                    m.bias.copy_(torch.from_numpy(
+                        (rng.randn(m.bias.shape[0]) * 0.02).astype(np.float32)
+                    ))
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.from_numpy(
+                    rng.uniform(0.9, 1.1, m.weight.shape[0]).astype(np.float32)
+                ))
+                m.bias.copy_(torch.from_numpy(
+                    (rng.randn(m.bias.shape[0]) * 0.05).astype(np.float32)
+                ))
+                m.momentum = None  # cumulative-average running stats
+                m.reset_running_stats()
+
+        ref.train()
+        for _ in range(rounds):
+            for i in range(0, len(calib_images), batch_size):
+                batch = torch.from_numpy(
+                    calib_images[i:i + batch_size]
+                    .transpose(0, 3, 1, 2).copy()
+                )
+                ref(batch)
+        ref.eval()
+    return {k: v.detach().clone() for k, v in ref.state_dict().items()}
