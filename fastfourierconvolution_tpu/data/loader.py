@@ -173,15 +173,21 @@ class DataLoader:
         finally:
             stop.set()
             # drain so the producer's in-flight put can complete, then
-            # join. The broad except is deliberate: generator
-            # finalization can run at interpreter shutdown, where queue
-            # internals misbehave — nothing here may raise.
+            # join. The broad except covers interpreter-shutdown
+            # finalization, where queue/thread internals misbehave —
+            # but an operator interrupt (KeyboardInterrupt/SystemExit)
+            # raised mid-drain must still propagate once the stop event
+            # is set (ADVICE r2).
             try:
                 while True:
                     q.get_nowait()
-            except BaseException:  # noqa: BLE001
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except BaseException:  # noqa: BLE001 - shutdown-time safety
                 pass
             try:
                 t.join(timeout=2.0)
-            except BaseException:  # noqa: BLE001
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except BaseException:  # noqa: BLE001 - shutdown-time safety
                 pass

@@ -12,6 +12,19 @@ flax.serialization; writes are atomic (tempfile + rename, the reference's
 utils_torch.py:25-36 pattern). The optimizer schedule needs no separate
 state: it is a pure function of the step count already inside the optax
 state.
+
+Format history: checkpoints written before the FourierUnit parameter
+unification (round 2, commit 07ba0ec) stored the non-fused fft path's
+BN as a ``BatchNorm_0`` submodule; current trees use flat
+``bn_scale``/``bn_bias`` params with top-level ``mean``/``var`` batch
+stats. Restoring such a pre-unification checkpoint fails on pytree
+structure mismatch — no migration shim is provided (only round-1
+scratch runs ever used that layout; retrain or hand-rename
+``BatchNorm_0/{scale,bias} -> bn_{scale,bias}`` and
+``batch_stats/.../BatchNorm_0/{mean,var} -> {mean,var}`` if one
+matters). Similarly, conditional models trained before round 3 with the
+then-default conditional spectral BN need ``cond_spectral_bn=True`` at
+model construction to restore.
 """
 
 from __future__ import annotations

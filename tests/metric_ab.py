@@ -18,11 +18,14 @@ resize -> InceptionV3 forward -> feature taps -> metric math:
     kid_featuresdict_to_metric (metric_kid.py) — the fan-out
     calculate_metrics performs at metrics.py:74-103.
 
-Random-weight deep taps collapse all inputs to a point (VERDICT weak-1),
-which would make the comparison vacuous; the A/B therefore runs on the
-shallow '192' tap, where seeded random weights still separate the two
-input distributions, and additionally records the deep '2048'/logits
-numbers for completeness.
+Weight scheme (round 3, VERDICT r2 item 2): naive N(0, 0.05) random
+weights collapse the deep taps (near-degenerate 2048-d covariances made
+the round-2 '2048' FID disagree by 24% — noise, not signal), so the A/B
+now uses torch_ref.calibrated_inception_state_dict — orthogonal
+variance-preserving kernels with BN running stats calibrated on real
+batches — which keeps EVERY tap discriminative, including the actual
+FID protocol layer '2048' (reference metric_fid.py:32-46,
+feature_extractor_inceptionv3.py:212-218).
 
 Usage (writes RUNS/parity_ab/metrics_ab.json):
     JAX_PLATFORMS=cpu python tests/metric_ab.py
@@ -56,9 +59,7 @@ def make_image_sets(n: int = 256, size: int = 32):
     return a, b
 
 
-def build_seeded_extractor_pth(tmp_dir: str, feats: Sequence[str]):
-    """Reference FeatureExtractorInceptionV3 with seeded random weights;
-    returns (torch module, path of the saved state dict)."""
+def _bare_reference_extractor(feats: Sequence[str]):
     import torch
 
     inc_mod = torch_ref.import_reference("feature_extractor_inceptionv3")
@@ -67,14 +68,42 @@ def build_seeded_extractor_pth(tmp_dir: str, feats: Sequence[str]):
              torch.nn.Module, "load_state_dict",
              lambda self, sd, **kw: None,
          ):
-        ref = inc_mod.FeatureExtractorInceptionV3(
+        return inc_mod.FeatureExtractorInceptionV3(
             "inception-v3-compat", list(feats),
             feature_extractor_weights_path="unused",
         )
+
+
+def build_seeded_extractor_pth(tmp_dir: str, feats: Sequence[str]):
+    """Reference FeatureExtractorInceptionV3 with seeded random weights;
+    returns (torch module, path of the saved state dict). NOTE: deep
+    taps are degenerate under this scheme — use
+    build_calibrated_extractor_pth for metric-level comparisons."""
+    import torch
+
+    ref = _bare_reference_extractor(feats)
     sd = torch_ref.seeded_state_dict(ref, seed=0)
     ref.load_state_dict(sd)
     ref.eval()
     path = os.path.join(tmp_dir, "inception_seeded.pth")
+    torch.save(sd, path)
+    return ref, path
+
+
+def build_calibrated_extractor_pth(
+    tmp_dir: str, feats: Sequence[str], calib_images: np.ndarray
+):
+    """Reference FeatureExtractorInceptionV3 with variance-preserving
+    orthogonal weights + activation-calibrated BN running stats
+    (torch_ref.calibrated_inception_state_dict) — every tap stays
+    discriminative, enabling the deep-tap ('2048') metric A/B."""
+    import torch
+
+    ref = _bare_reference_extractor(feats)
+    sd = torch_ref.calibrated_inception_state_dict(ref, calib_images, seed=0)
+    ref.load_state_dict(sd)
+    ref.eval()
+    path = os.path.join(tmp_dir, "inception_calibrated.pth")
     torch.save(sd, path)
     return ref, path
 
@@ -212,11 +241,27 @@ def run_metric_ab(tmp_dir: str, n: int = 256, size: int = 32,
                   kid_subsets: int = 10, kid_subset_size: int = 100) -> Dict:
     feats = sorted(set(layers) | {"logits_unbiased"})
     imgs_a, imgs_b = make_image_sets(n, size)
-    ref, pth = build_seeded_extractor_pth(tmp_dir, feats)
+    # calibrate on a disjoint mix of both distributions (different seeds
+    # than the measured sets)
+    from fastfourierconvolution_tpu.data.datasets import (
+        ShapesDataset,
+        SyntheticDataset,
+    )
+
+    calib = np.concatenate([
+        ShapesDataset(n=n // 2, size=size, seed=21).images,
+        SyntheticDataset(n=n // 2, size=size, seed=22).images,
+    ])
+    ref, pth = build_calibrated_extractor_pth(tmp_dir, feats, calib)
     fd_a = reference_features(ref, imgs_a, feats)
     fd_b = reference_features(ref, imgs_b, feats)
 
-    table: Dict[str, Dict] = {}
+    table: Dict[str, Dict] = {
+        "_weights": "calibrated orthogonal + BN-stat calibration "
+                    "(torch_ref.calibrated_inception_state_dict) — all "
+                    "taps discriminative incl. the '2048' FID protocol "
+                    "layer"
+    }
     for layer in layers:
         r = reference_metrics(fd_a, fd_b, layer, kid_subsets,
                               kid_subset_size)
@@ -235,6 +280,14 @@ def run_metric_ab(tmp_dir: str, n: int = 256, size: int = 32,
 
 def main():
     import tempfile
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize overrides the env var; force CPU the
+        # way tests/conftest.py does (a wedged tunnel otherwise blocks
+        # backend init ~25 min)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "RUNS/parity_ab"
     os.makedirs(out_dir, exist_ok=True)
