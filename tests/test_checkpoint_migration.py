@@ -6,6 +6,8 @@ forward parity against the reference's own code running from
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,3 +313,31 @@ def test_cond_sn_discriminator_migrates(reference_cond_ns):
     )
     err = torch_ref.rel_err(np.asarray(logits), ref_logits)
     assert err < 2e-2, f"cond D logits rel err {err}"
+
+
+def test_cli_sample_from_cond_torch_checkpoint(reference_cond_ns, tmp_path):
+    """`cli sample --torch_checkpoint <cond.pth>` produces
+    class-stratified samples from a reference-trained conditional
+    checkpoint (VERDICT r2 item 4 done-criterion)."""
+    from fastfourierconvolution_tpu.cli import main
+
+    ref = reference_cond_ns["FCondGenerator"](128, mg=4, num_classes=10)
+    sd = _cond_seeded_sd(ref, seed=17)
+    path = tmp_path / "cond_gen_500_steps.pth"
+    torch.save(
+        {"model_state_dict": sd, "optimizer_state_dict": {},
+         "scheduler_state_dict": {}, "global_step": 500},
+        path,
+    )
+    out_dir = str(tmp_path / "out")
+    main([
+        "sample", "--preset", "fgan_cond32",
+        "--torch_checkpoint", str(path),
+        "--num_samples", "20", "--per_sample",
+        "-o", out_dir,
+    ])
+    import glob
+
+    assert os.path.exists(os.path.join(out_dir, "samples_000000.png"))
+    singles = glob.glob(os.path.join(out_dir, "samples_000000", "*.png"))
+    assert len(singles) == 20
