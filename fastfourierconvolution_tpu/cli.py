@@ -606,13 +606,16 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
         print(f"WARNING: feature-map figure failed: {e}")
 
 
-def _resolve_fidelity_input(spec: str, args):
+def _resolve_fidelity_input(spec: str, args, idx: int = 1):
     """Resolve a fidelity CLI input: a registered dataset name, a
-    directory of image samples, a .npz/.npy uint8 array, or a training
-    output dir with checkpoints (loaded as a generative model via
-    --preset). Mirrors the reference's input descriptor kinds
-    (torch_fidelity/utils.py:211-322; ONNX/JIT paths are torch-specific
-    and replaced by the checkpoint-dir kind)."""
+    directory of image samples, a .npz/.npy uint8 array, a TorchScript
+    .pt/.pth generative model (reference JIT-model input,
+    torch_fidelity/utils.py:279-286; latent spec from
+    --input{N}-model-z-size/-z-type/-num-classes), or a training output
+    dir with checkpoints (loaded as a generative model via --preset).
+    Mirrors the reference's input descriptor kinds
+    (torch_fidelity/utils.py:211-322; the ONNX kind needs onnxruntime,
+    absent in this image — documented N/A)."""
     import numpy as np
 
     from .eval import pipeline
@@ -624,6 +627,15 @@ def _resolve_fidelity_input(spec: str, args):
         return data[list(data.keys())[0]]
     if spec.endswith(".npy"):
         return np.load(spec)
+    if spec.endswith((".pt", ".pth")):
+        if not os.path.isfile(spec):
+            raise SystemExit(f"fidelity: no such model file: {spec}")
+        return pipeline.torchscript_generative_model(
+            spec,
+            z_size=getattr(args, f"input{idx}_model_z_size"),
+            z_type=getattr(args, f"input{idx}_model_z_type"),
+            num_classes=getattr(args, f"input{idx}_model_num_classes"),
+        )
     if os.path.isdir(os.path.join(spec, "checkpoints")):
         return _generative_model_from_run_dir(spec, args)
     if os.path.isdir(spec):
@@ -832,6 +844,16 @@ def build_fidelity_parser():
     p.add_argument("--samples-find-ext", default="png,jpg,jpeg")
     p.add_argument("--input1-model-num-samples", type=int, default=10000)
     p.add_argument("--input2-model-num-samples", type=int, default=10000)
+    # latent spec for .pt/.pth TorchScript model inputs (reference
+    # fidelity.py --input{1,2}-model-z-size/-z-type/-num-classes)
+    p.add_argument("--input1-model-z-size", type=int, default=128)
+    p.add_argument("--input2-model-z-size", type=int, default=128)
+    p.add_argument("--input1-model-z-type", default="normal",
+                   choices=["normal", "unit", "uniform_0_1"])
+    p.add_argument("--input2-model-z-type", default="normal",
+                   choices=["normal", "unit", "uniform_0_1"])
+    p.add_argument("--input1-model-num-classes", type=int, default=0)
+    p.add_argument("--input2-model-num-classes", type=int, default=0)
     p.add_argument("--input1-cache-name", default=None)
     p.add_argument("--input2-cache-name", default=None)
     p.add_argument("--no-cache", action="store_true")
@@ -860,9 +882,10 @@ def run_fidelity(argv) -> None:
         raise SystemExit(
             "fidelity: at least one of -i/-f/-k/-r/-p must be given"
         )
-    input1 = _resolve_fidelity_input(args.input1, args)
+    input1 = _resolve_fidelity_input(args.input1, args, idx=1)
     input2 = (
-        _resolve_fidelity_input(args.input2, args) if args.input2 else None
+        _resolve_fidelity_input(args.input2, args, idx=2)
+        if args.input2 else None
     )
     from .eval.pipeline import GenerativeModel
 

@@ -48,6 +48,50 @@ class GenerativeModel:
     num_classes: int = 0
 
 
+def torchscript_generative_model(
+    path: str, z_size: int, z_type: str = "normal", num_classes: int = 0
+) -> GenerativeModel:
+    """TorchScript ``.pth``/``.pt`` generative-model input — the
+    reference's JIT-model input kind (torch_fidelity/utils.py:279-286,
+    GenerativeModelBase contract): the scripted module maps noise
+    (+ labels when ``num_classes > 0``) to images.
+
+    The module runs on torch CPU; outputs are normalised to the uint8
+    NHWC contract (uint8 passes through; float outputs get the
+    reference's eval conversion ``255 * (clamp(-1,1) * 0.5 + 0.5)``,
+    fgan_complete.py:137-138) and NCHW is transposed when detected.
+    """
+    import torch
+
+    module = torch.jit.load(path, map_location="cpu")
+    module.eval()
+
+    def apply(z, labels=None):
+        with torch.no_grad():
+            zt = torch.from_numpy(np.asarray(z, np.float32))
+            if labels is not None:
+                out = module(
+                    zt, torch.from_numpy(np.asarray(labels, np.int64))
+                )
+            else:
+                out = module(zt)
+        arr = out.cpu().numpy()
+        assert arr.ndim == 4, f"JIT model must emit NCHW/NHWC, got {arr.shape}"
+        if arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+            arr = arr.transpose(0, 2, 3, 1)  # NCHW (torch-native) -> NHWC
+        if arr.dtype != np.uint8:
+            arr = (
+                255.0 * (np.clip(arr, -1.0, 1.0) * 0.5 + 0.5)
+            ).astype(np.uint8)
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        return arr
+
+    return GenerativeModel(
+        apply=apply, z_size=z_size, z_type=z_type, num_classes=num_classes
+    )
+
+
 # dataset registry: name -> callable () -> uint8 ndarray (N, H, W, 3)
 _DATASETS: Dict[str, Callable[[], np.ndarray]] = {}
 

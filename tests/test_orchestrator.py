@@ -250,3 +250,65 @@ def test_fid_statistics_cache_shortcut(tmp_path, toy_extractors):
         out2["frechet_inception_distance"],
         rtol=1e-9,
     )
+
+
+def test_torchscript_generative_model_input(tmp_path, toy_extractors):
+    """The reference's TorchScript .pth/.pt generative-model input kind
+    (torch_fidelity/utils.py:279-286): a scripted torch module drives
+    the metric pipeline — float NCHW output converted with the uint8
+    eval contract, NHWC handed to the extractor."""
+    import torch
+
+    class TinyGen(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = torch.nn.Linear(8, 3 * 8 * 8)
+
+        def forward(self, z):
+            return torch.tanh(self.fc(z)).view(-1, 3, 8, 8)
+
+    path = str(tmp_path / "gen.pt")
+    torch.jit.save(torch.jit.trace(TinyGen(), torch.randn(2, 8)), path)
+    gm = P.torchscript_generative_model(path, z_size=8)
+    imgs = gm.apply(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+    assert imgs.shape == (4, 8, 8, 3) and imgs.dtype == np.uint8
+
+    out = P.calculate_metrics(
+        gm, _imgs(seed=5),
+        fid=True,
+        input1_model_num_samples=16,
+        batch_size=8,
+        cache=False,
+        verbose=False,
+    )
+    assert np.isfinite(out[KEY_FID])
+
+
+def test_fidelity_cli_torchscript_model_input(tmp_path, toy_extractors,
+                                              capsys):
+    """`fidelity gen.pt real.npz -f` end-to-end with the latent-spec
+    flags (reference fidelity.py --input1-model-z-size etc.)."""
+    import torch
+
+    from fastfourierconvolution_tpu.cli import main
+
+    class TinyGen(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = torch.nn.Linear(6, 3 * 8 * 8)
+
+        def forward(self, z):
+            return torch.tanh(self.fc(z)).view(-1, 3, 8, 8)
+
+    path = str(tmp_path / "gen.pth")
+    torch.jit.save(torch.jit.trace(TinyGen(), torch.randn(2, 6)), path)
+    npz = str(tmp_path / "real.npz")
+    np.savez(npz, imgs=_imgs(seed=3))
+    main([
+        "fidelity", path, npz, "-f", "--json", "--silent", "--no-cache",
+        "--input1-model-z-size", "6",
+        "--input1-model-num-samples", "16",
+        "--batch-size", "8",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["frechet_inception_distance"])
