@@ -50,11 +50,16 @@ def _pair(v) -> Tuple[int, int]:
 import os as _os
 
 _TAPMIX = _os.environ.get("FFC_TPU_TAPMIX", "1") != "0"  # A/B switch
-# store the per-tap partials bf16 instead of f32 (halves the bytes of
+# Store the per-tap partials bf16 instead of f32 (halves the bytes of
 # the tap-accumulation fusion — the 128px profile's add_tanh_fusion —
 # at one extra bf16 rounding per partial vs the direct conv's single
-# f32 MXU accumulation). Measured in-context before enabling.
-_TAPMIX_BF16 = _os.environ.get("FFC_TPU_TAPMIX_BF16", "0") != "0"
+# f32 MXU accumulation). Measured on TPU v5e (RUNS/convt_ab_r3.json,
+# fgan128 step, batch 64): 85.25 ms vs 87.03 ms (+2.1% img/s). Default
+# "policy": bf16 partials exactly when the compute policy is bf16 (the
+# operands are then already bf16, so the extra rounding is
+# policy-consistent); f32-policy runs (numerics/parity tests) keep f32
+# partials. Env/setter override: 0 forces f32, 1 forces bf16.
+_TAPMIX_BF16 = _os.environ.get("FFC_TPU_TAPMIX_BF16", "policy")
 
 
 def set_tapmix_enabled(enabled: bool) -> None:
@@ -62,9 +67,19 @@ def set_tapmix_enabled(enabled: bool) -> None:
     _TAPMIX = bool(enabled)
 
 
-def set_tapmix_bf16(enabled: bool) -> None:
+def set_tapmix_bf16(mode) -> None:
+    """mode: True/1 force bf16 partials, False/0 force f32, "policy"
+    (default) = bf16 iff the compute policy is bf16."""
     global _TAPMIX_BF16
-    _TAPMIX_BF16 = bool(enabled)
+    _TAPMIX_BF16 = mode if mode == "policy" else ("1" if mode and mode != "0" else "0")
+
+
+def _tapmix_bf16_active() -> bool:
+    if _TAPMIX_BF16 == "policy":
+        from ..utils.policy import compute_dtype
+
+        return compute_dtype() == jnp.bfloat16
+    return _TAPMIX_BF16 != "0"
 
 
 def _tapmix_applicable(x, kernel, sh, sw, ph, pw, dh, dw, groups) -> bool:
@@ -95,7 +110,7 @@ def _conv2d_tapmix(x, kernel, ph, pw):
     z = jnp.dot(
         x.reshape(b * h * w, ci), km, preferred_element_type=jnp.float32
     )
-    if _TAPMIX_BF16:
+    if _tapmix_bf16_active():
         z = z.astype(jnp.bfloat16)
     z = z.reshape(b, h, w, kh * kw, co)
     zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0), (0, 0)))
@@ -162,7 +177,18 @@ def conv2d(
 # (exact, same FLOPs); "fusedk" embeds all phases into ONE stride-1
 # conv with s*s*Co outputs + depth-to-space (lane-dense MXU shape,
 # ceil(k/s)^2*s^2/k^2 x the FLOPs). Measured in-context on TPU v5e
-# (fgan128 train step, batch 64): see the table below conv_transpose2d.
+# (RUNS/convt_ab_r3.json — fgan train step, batch 64):
+#
+#   res   lhs          subpixel      fusedk
+#   128   735 img/s    599 (-18.6%)  602 (-18.1%)
+#    32   21679 img/s  19983 (-7.8%) 17561 (-19.0%)
+#
+# lhs wins decisively at both resolutions: the alternates' extra HBM
+# traffic (phase interleave / depth-to-space writes: 83/75 GB vs 62 GB
+# per 128px step) costs more than the formatting copies they remove,
+# and fusedk's +27% FLOPs never pay for themselves. The lever is
+# CLOSED — "lhs" stays the default; the alternates remain behind the
+# env gate for hardware where the copy/bandwidth ratio differs.
 _CONVT_MODE = _os.environ.get("FFC_TPU_CONVT", "lhs")
 
 

@@ -87,6 +87,32 @@ def test_tapmix_matches_direct_conv(k, p, co):
                                atol=2e-3, rtol=2e-4)
 
 
+def test_tapmix_bf16_follows_policy():
+    """Default "policy" mode: bf16 tap partials engage exactly when the
+    compute policy is bf16 (the measured +2.1% 128px win —
+    RUNS/convt_ab_r3.json tapmix_bf16 block) and stay f32 under the f32
+    policy, so the exactness assertions above stay meaningful. Forced
+    overrides ("0"/"1") beat the policy in both directions."""
+    from fastfourierconvolution_tpu.utils import policy
+
+    prior_mode = conv._TAPMIX_BF16
+    prior_dtype = policy.compute_dtype()
+    try:
+        conv.set_tapmix_bf16("policy")
+        policy.set_compute_dtype("f32")
+        assert not conv._tapmix_bf16_active()
+        policy.set_compute_dtype("bf16")
+        assert conv._tapmix_bf16_active()
+        conv.set_tapmix_bf16(False)
+        assert not conv._tapmix_bf16_active()
+        policy.set_compute_dtype("f32")
+        conv.set_tapmix_bf16(True)
+        assert conv._tapmix_bf16_active()
+    finally:
+        conv._TAPMIX_BF16 = prior_mode
+        policy.set_compute_dtype(prior_dtype)
+
+
 @pytest.mark.slow
 def test_tapmix_model_level_equivalence(monkeypatch):
     """The 64px FFC generator's to_rgb local head (24->3 on a 64x64 map
