@@ -25,8 +25,22 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.ffc import FFC_BN_ACT, resize_output
-from ..nn.layers import Conv2d, NoiseInjection, SNConv2d, SNDense, dense_init
+from ..nn.ffc import FFC_BN_ACT, Packed, packed_enabled, resize_output
+from ..nn.layers import (
+    Conv2d,
+    NoiseInjection,
+    NoiseWeightHolder,
+    SNConv2d,
+    SNDense,
+    dense_init,
+)
+
+
+# Packed-branch mode default threshold, set by the on-chip A/B
+# (RUNS/packed_ab_r3.json): packed wins where branch maps are large
+# (128px: 750 -> 858 img/s, +14.5%) and loses where the step is
+# VMEM-resident (32px: -11%). FFC_TPU_PACKED=0/1 overrides.
+_PACKED_MIN_RES = 128
 
 
 def to_uint8(x: jax.Array) -> jax.Array:
@@ -57,6 +71,7 @@ class FFCGenerator(nn.Module):
     channel_mults: Sequence[int] = (4, 2, 1)
     out_channels: int = 3
     impl: Optional[str] = None
+    packed: Optional[bool] = None  # None -> $FFC_TPU_PACKED
 
     @property
     def resolution(self) -> int:
@@ -75,13 +90,23 @@ class FFCGenerator(nn.Module):
         )(z)
         x = stem.reshape(b, self.mg, self.mg, self.ngf * 8)
 
-        feat = (x, None)
+        packed = (
+            self.packed
+            if self.packed is not None
+            else packed_enabled(default=self.resolution >= _PACKED_MIN_RES)
+        )
+        feat = Packed(x, x.shape[-1]) if packed else (x, None)
         in_ratio = 0.0  # the stem output is all-local
         for i, mult in enumerate(self.channel_mults):
             out_ch = self.ngf * mult
+            in_ch = (
+                feat.x.shape[-1]
+                if packed
+                else feat[0].shape[-1]
+                + (feat[1].shape[-1] if feat[1] is not None else 0)
+            )
             feat = FFC_BN_ACT(
-                in_channels=feat[0].shape[-1]
-                + (feat[1].shape[-1] if feat[1] is not None else 0),
+                in_channels=in_ch,
                 out_channels=out_ch,
                 kernel_size=4,
                 ratio_gin=in_ratio,
@@ -92,14 +117,18 @@ class FFCGenerator(nn.Module):
                 activation="gelu",
                 upsampling=True,
                 impl=self.impl,
+                packed=packed,
                 name=f"block{i}",
             )(feat, train)
             if train:
-                x_l, x_g = feat
-                x_l = NoiseInjection(name=f"lcl_noise{i}")(x_l)
-                if x_g is not None:
-                    x_g = NoiseInjection(name=f"glb_noise{i}")(x_g)
-                feat = (x_l, x_g)
+                if packed:
+                    feat = self._packed_noise(feat, i)
+                else:
+                    x_l, x_g = feat
+                    x_l = NoiseInjection(name=f"lcl_noise{i}")(x_l)
+                    if x_g is not None:
+                        x_g = NoiseInjection(name=f"glb_noise{i}")(x_g)
+                    feat = (x_l, x_g)
             in_ratio = self.ratio_g
 
         feat = FFC_BN_ACT(
@@ -114,9 +143,25 @@ class FFCGenerator(nn.Module):
             activation="tanh",
             upsampling=False,
             impl=self.impl,
+            packed=packed,
             name="to_rgb",
         )(feat, train)
         return resize_output(feat)
+
+    def _packed_noise(self, p: Packed, i: int) -> Packed:
+        """Both branches' NoiseInjection in one full-lane pass; the
+        NoiseWeightHolder children keep the exact lcl/glb_noise{i} param
+        tree and PRNG folds of the tuple path."""
+        arr, cl = p.x, p.cl
+        cg = arr.shape[-1] - cl
+        w_l, n_l = NoiseWeightHolder(cl, name=f"lcl_noise{i}")(arr)
+        if cg == 0:
+            return Packed(arr + w_l.astype(arr.dtype) * n_l, cl)
+        w_g, n_g = NoiseWeightHolder(cg, name=f"glb_noise{i}")(arr)
+        w = jnp.concatenate([w_l, w_g], axis=-1).astype(arr.dtype)
+        sel = jnp.arange(arr.shape[-1]) >= cl
+        noise = jnp.where(sel, n_g, n_l)
+        return Packed(arr + w * noise, cl)
 
     @staticmethod
     def for_resolution(

@@ -33,7 +33,8 @@ permutation of the (randomly initialised) mix-kernel rows/columns.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -44,8 +45,10 @@ from ..ops import fourier
 from .layers import (
     ACTIVATIONS,
     BatchNorm,
+    BatchNormHolder,
     ConditionalBatchNorm,
     Conv2d,
+    ConvKernelHolder,
     ConvTranspose2d,
     SELayer,
     SNConv2d,
@@ -62,6 +65,41 @@ def split_channels(channels: int, ratio: float) -> Tuple[int, int]:
     (layers/ffc/ffc.py:33-36)."""
     c_g = int(channels * ratio)
     return channels - c_g, c_g
+
+
+class Packed(NamedTuple):
+    """Packed-branch FFC signal: local and global branches stored as ONE
+    ``(B, H, W, cl+cg)`` array (``[local | global]`` on the channel axis).
+
+    Why: the 128px ladder's branch maps are 64-channel — exactly half a
+    TPU lane register — so every conv and elementwise fusion on separate
+    branches runs at ~50% lane density (profiled round 2: loop fusions at
+    323 GB/s of an 819 GB/s roofline, BASELINE.md top-5 sinks). Packing
+    keeps the channel-minor dimension full: the three conv branches
+    become one block-structured convolution (the g->g block is zero —
+    the spectral transform covers it) and the BN/noise/activation chain
+    runs once over the full-width array. Mathematically identical to the
+    tuple path (BN statistics are per-channel; the reference's Resizer
+    concat is this very layout, reference layers/resizer.py:15-24).
+    ``cl`` is the static local-channel count.
+    """
+
+    x: jax.Array
+    cl: int
+
+
+def packed_enabled(default: bool = False) -> bool:
+    """Env gate for the packed-branch execution mode (A/B'd on chip like
+    FFC_TPU_CONVT / FFC_TPU_TAPMIX; read at trace time). When
+    ``FFC_TPU_PACKED`` is unset the caller-supplied ``default`` decides —
+    models gate it on map size per the measured A/B
+    (RUNS/packed_ab_r3.json: +14.5% img/s at 128px, -11% at 32px where
+    the working set is VMEM-resident and the pack/slice overhead has no
+    lane-density win to pay for it)."""
+    v = os.environ.get("FFC_TPU_PACKED")
+    if v is None:
+        return default
+    return v == "1"
 
 
 class FourierUnit(nn.Module):
@@ -235,6 +273,88 @@ class SpectralTransform(nn.Module):
         return out
 
 
+def _assemble_block_kernel(
+    mod, kl2l, kl2g, kg2l
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """One (k, k, cl_in+cg_in, cl_out+cg_out) kernel computing
+    ``[l2l(x_l)+g2l(x_g) | l2g(x_l)]`` in a single lane-dense conv; the
+    g->g block is zero (the spectral path adds that contribution). Bias
+    columns sum the way two separate biased convs into the same output
+    would."""
+    k = mod.kernel_size
+    cl_in, cg_in = mod.in_cl, mod.in_cg
+    out_cl, out_cg = mod.out_cl, mod.out_cg
+
+    def pieces(holder):
+        return holder() if holder is not None else (None, None)
+
+    k_l2l, b_l2l = pieces(kl2l)
+    k_l2g, b_l2g = pieces(kl2g)
+    k_g2l, b_g2l = pieces(kg2l)
+    some = k_l2l if k_l2l is not None else (
+        k_l2g if k_l2g is not None else k_g2l
+    )
+    dt = some.dtype
+
+    rows = []
+    if cl_in > 0:
+        cols = []
+        if out_cl > 0:
+            cols.append(k_l2l)
+        if out_cg > 0:
+            cols.append(k_l2g)
+        rows.append(jnp.concatenate(cols, axis=3) if len(cols) > 1 else cols[0])
+    if cg_in > 0:
+        cols = []
+        if out_cl > 0:
+            cols.append(k_g2l)
+        if out_cg > 0:
+            cols.append(jnp.zeros((k, k, cg_in, out_cg), dt))
+        rows.append(jnp.concatenate(cols, axis=3) if len(cols) > 1 else cols[0])
+    kernel = jnp.concatenate(rows, axis=2) if len(rows) > 1 else rows[0]
+
+    bias = None
+    if mod.use_bias:
+        b_l = None
+        if out_cl > 0:
+            b_l = _add_opt(b_l2l, b_g2l)
+            if b_l is None:
+                b_l = jnp.zeros((out_cl,), dt)
+        b_g = None
+        if out_cg > 0:
+            b_g = b_l2g if b_l2g is not None else jnp.zeros((out_cg,), dt)
+        parts = [b for b in (b_l, b_g) if b is not None]
+        bias = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return kernel, bias
+
+
+def _packed_ffc_call(mod, p: Packed, train: bool, y, conv_fn) -> Packed:
+    """Shared packed forward for FFC / FFCTranspose: one block conv +
+    the spectral g->g contribution added into the global slice."""
+    x = p.x
+    cl_in, cg_in = mod.in_cl, mod.in_cg
+    out_cl, out_cg = mod.out_cl, mod.out_cg
+    assert p.cl == cl_in and x.shape[-1] == cl_in + cg_in, (
+        f"packed input has cl={p.cl}, C={x.shape[-1]}; "
+        f"expected ({cl_in}, {cl_in + cg_in})"
+    )
+    kernel, bias = _assemble_block_kernel(
+        mod, mod.convl2l, mod.convl2g, mod.convg2l
+    )
+    out = conv_fn(x, kernel)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    if mod.convg2g is not None and cg_in > 0 and out_cg > 0:
+        s = mod.convg2g(x[..., cl_in:], train, y)
+        if out_cl > 0:
+            out = jnp.concatenate(
+                [out[..., :out_cl], out[..., out_cl:] + s], axis=-1
+            )
+        else:
+            out = out + s
+    return Packed(out, out_cl)
+
+
 class FFC(nn.Module):
     """The FFC layer: local/global split with four cross-gating branches
     (reference layers/ffc/ffc.py:10-99)."""
@@ -260,6 +380,7 @@ class FFC(nn.Module):
     cond_spectral_bn: bool = False
     use_sn: bool = False
     impl: Optional[str] = None
+    packed: bool = False  # packed-branch mode (see Packed)
 
     def setup(self):
         assert self.stride in (1, 2), "Stride should be 1 or 2."
@@ -267,10 +388,22 @@ class FFC(nn.Module):
         out_cl, out_cg = split_channels(self.out_channels, self.ratio_gout)
         self.in_cl, self.in_cg = in_cl, in_cg
         self.out_cl, self.out_cg = out_cl, out_cg
+        if self.packed:
+            assert not self.use_sn and self.groups == 1, (
+                "packed mode supports groups=1, use_sn=False only"
+            )
 
         def make_conv(cin, cout, name):
             if cin == 0 or cout == 0:
                 return None
+            if self.packed:
+                return ConvKernelHolder(
+                    cin,
+                    cout,
+                    self.kernel_size,
+                    use_bias=self.use_bias,
+                    name=name,
+                )
             if self.use_sn:
                 # SNConv2d carries no dilation/groups — refuse rather
                 # than silently training a different function
@@ -325,6 +458,21 @@ class FFC(nn.Module):
     def __call__(
         self, x, train: bool, y: Optional[jax.Array] = None
     ) -> BranchPair:
+        if self.packed:
+            assert isinstance(x, Packed), "packed FFC expects Packed input"
+            return _packed_ffc_call(
+                self,
+                x,
+                train,
+                y,
+                lambda v, k: conv_ops.conv2d(
+                    v,
+                    k,
+                    stride=self.stride,
+                    padding=self.padding,
+                    dilation=self.dilation,
+                ),
+            )
         x_l, x_g = x if isinstance(x, tuple) else (x, None)
         out_l, out_g = None, None
         if self.ratio_gout != 1:
@@ -363,15 +511,30 @@ class FFCTranspose(nn.Module):
     cond_spectral_bn: bool = False  # see FFC.cond_spectral_bn
     use_sn: bool = False
     impl: Optional[str] = None
+    packed: bool = False  # packed-branch mode (see Packed)
 
     def setup(self):
         assert self.stride in (1, 2), "Stride should be 1 or 2."
         in_cl, in_cg = split_channels(self.in_channels, self.ratio_gin)
         out_cl, out_cg = split_channels(self.out_channels, self.ratio_gout)
+        self.in_cl, self.in_cg = in_cl, in_cg
+        self.out_cl, self.out_cg = out_cl, out_cg
+        if self.packed:
+            assert not self.use_sn and self.groups == 1, (
+                "packed mode supports groups=1, use_sn=False only"
+            )
 
         def make_convt(cin, cout, name):
             if cin == 0 or cout == 0:
                 return None
+            if self.packed:
+                return ConvKernelHolder(
+                    cin,
+                    cout,
+                    self.kernel_size,
+                    use_bias=self.use_bias,
+                    name=name,
+                )
             if self.use_sn:
                 # the working SN-transpose semantics (the reference's
                 # SNFFCTranspose is broken as checked in, SURVEY §1)
@@ -425,6 +588,24 @@ class FFCTranspose(nn.Module):
     def __call__(
         self, x, train: bool, y: Optional[jax.Array] = None
     ) -> BranchPair:
+        if self.packed:
+            assert isinstance(x, Packed), (
+                "packed FFCTranspose expects Packed input"
+            )
+            return _packed_ffc_call(
+                self,
+                x,
+                train,
+                y,
+                lambda v, k: conv_ops.conv_transpose2d(
+                    v,
+                    k,
+                    stride=self.stride,
+                    padding=self.padding,
+                    output_padding=self.output_padding,
+                    dilation=self.dilation,
+                ),
+            )
         x_l, x_g = x if isinstance(x, tuple) else (x, None)
         out_l, out_g = None, None
         if self.ratio_gout != 1:
@@ -471,11 +652,16 @@ class FFC_BN_ACT(nn.Module):
     num_classes: int = 0
     cond_spectral_bn: bool = False  # see FFC.cond_spectral_bn
     impl: Optional[str] = None
+    packed: bool = False  # packed-branch mode (see Packed)
 
     @nn.compact
     def __call__(
         self, x, train: bool, y: Optional[jax.Array] = None
     ) -> BranchPair:
+        if self.packed:
+            assert self.num_classes <= 1, (
+                "packed mode does not support conditional BN"
+            )
         if self.upsampling:
             ffc = FFCTranspose(
                 self.in_channels,
@@ -494,6 +680,7 @@ class FFC_BN_ACT(nn.Module):
                 cond_spectral_bn=self.cond_spectral_bn,
                 use_sn=self.use_sn,
                 impl=self.impl,
+                packed=self.packed,
                 name="ffc",
             )
         else:
@@ -513,8 +700,11 @@ class FFC_BN_ACT(nn.Module):
                 cond_spectral_bn=self.cond_spectral_bn,
                 use_sn=self.use_sn,
                 impl=self.impl,
+                packed=self.packed,
                 name="ffc",
             )
+        if self.packed:
+            return self._packed_norm_act(ffc(x, train, y), train)
         x_l, x_g = ffc(x, train, y)
         act = ACTIVATIONS[self.activation]
 
@@ -532,6 +722,46 @@ class FFC_BN_ACT(nn.Module):
 
         return norm_act(x_l, "l"), norm_act(x_g, "g")
 
+    def _packed_norm_act(self, p: Packed, train: bool) -> Packed:
+        """BN + activation over the packed array in ONE full-lane pass.
+
+        Per-channel batch statistics over the concatenated branches are
+        identical to per-branch statistics; the BatchNormHolder children
+        keep the exact bn_l/bn_g parameter/stat tree of the tuple path
+        (same normalisation math as :class:`BatchNorm`: f32, biased
+        variance, eps 1e-5, momentum 0.9)."""
+        act = ACTIVATIONS[self.activation]
+        arr, cl = p.x, p.cl
+        if self.norm != "batch":
+            return Packed(act(arr), cl)
+        cg = arr.shape[-1] - cl
+        in_dtype = arr.dtype
+        xf = arr.astype(jnp.float32)
+        if train:
+            bmean = jnp.mean(xf, axis=(0, 1, 2))
+            bvar = jnp.mean(xf * xf, axis=(0, 1, 2)) - bmean * bmean
+        else:
+            bmean = bvar = None
+
+        def side(name, lo, hi):
+            m = bmean[lo:hi] if bmean is not None else None
+            v = bvar[lo:hi] if bvar is not None else None
+            return BatchNormHolder(hi - lo, name=name)(m, v, train)
+
+        parts = []
+        if cl > 0:
+            parts.append(side("bn_l", 0, cl))
+        if cg > 0:
+            parts.append(side("bn_g", cl, cl + cg))
+        mean, var, scale, bias = (
+            parts[0]
+            if len(parts) == 1
+            else tuple(jnp.concatenate(t) for t in zip(*parts))
+        )
+        inv = jax.lax.rsqrt(var + 1e-5)
+        out = (xf - mean) * (inv * scale) + bias
+        return Packed(act(out).astype(in_dtype), cl)
+
 
 def _add_opt(a: Branch, b: Branch) -> Branch:
     if a is None:
@@ -543,7 +773,10 @@ def _add_opt(a: Branch, b: Branch) -> Branch:
 
 def resize_output(x) -> jax.Array:
     """Collapse an FFC tuple to one tensor: concat local+global channels
-    (reference layers/resizer.py:15-24)."""
+    (reference layers/resizer.py:15-24). A Packed signal already IS that
+    concat — the resizer is free in packed mode."""
+    if isinstance(x, Packed):
+        return x.x
     if isinstance(x, tuple):
         x_l, x_g = x
         if x_g is None:

@@ -285,6 +285,115 @@ class SNConvTranspose2d(nn.Module, _SpectralMixin):
         return y
 
 
+class ConvKernelHolder(nn.Module):
+    """Parameter holder with the exact tree of Conv2d/ConvTranspose2d.
+
+    The packed-branch FFC path (nn/ffc.py, FFC_TPU_PACKED) assembles one
+    block-structured kernel out of the l2l/l2g/g2l branch kernels instead
+    of running three half-lane convolutions. This holder declares the
+    same ``kernel``/``bias`` params (same names, shapes, inits) as the
+    conv modules it stands in for, so checkpoints are interchangeable
+    between packed and unpacked execution.
+    """
+
+    in_features: int
+    features: int
+    kernel_size: int
+    use_bias: bool = False
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, Optional[jax.Array]]:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _BNVarsLeaf(nn.Module):
+    """flax ``nn.BatchNorm``'s exact param/variable tree, stats computed
+    by the caller (the packed-branch BN computes one set of per-channel
+    statistics over the concatenated branches — mathematically identical
+    to per-branch BN — and hands each branch its slice here)."""
+
+    features: int
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        batch_mean: Optional[jax.Array],
+        batch_var: Optional[jax.Array],
+        train: bool,
+    ):
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        scale = bias = None
+        if self.use_scale_bias:
+            scale = self.param("scale", bn_scale_init, (self.features,))
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+        if train:
+            if not self.is_initializing():
+                mom = 0.9
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * batch_mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * batch_var
+            return batch_mean, batch_var, scale, bias
+        return ra_mean.value, ra_var.value, scale, bias
+
+
+class BatchNormHolder(nn.Module):
+    """Tree-twin of :class:`BatchNorm` for the packed-branch path: same
+    nested ``BatchNorm_0`` param/stat layout, statistics supplied by the
+    caller."""
+
+    features: int
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var, train: bool):
+        return _BNVarsLeaf(
+            self.features, self.use_scale_bias, name="BatchNorm_0"
+        )(batch_mean, batch_var, train)
+
+
+class NoiseWeightHolder(nn.Module):
+    """Tree-twin of :class:`NoiseInjection` for the packed-branch path:
+    declares the same per-channel ``weight`` and draws the same
+    (B, H, W, 1) noise from the same "noise" stream (identical module
+    path => identical fold => identical draw); the caller applies it to
+    its branch slice."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        weight = self.param(
+            "weight", nn.initializers.zeros, (1, 1, 1, self.features)
+        )
+        noise = jax.random.normal(
+            self.make_rng("noise"),
+            (x.shape[0], x.shape[1], x.shape[2], 1),
+            dtype=x.dtype,
+        )
+        return weight, noise
+
+
 class NoiseInjection(nn.Module):
     """StyleGAN-style learnable noise (reference layers/noise_injection.py:20-31).
 
