@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.ffc import FFC_BN_ACT, resize_output
+from ..nn.ffc import FFC_BN_ACT, Packed, packed_enabled, resize_output
 from ..nn.layers import (
     BatchNorm,
     Conv2d,
@@ -32,7 +32,7 @@ from ..nn.layers import (
     SNDense,
     dense_init,
 )
-from .ffc_gan import _D_LADDERS
+from .ffc_gan import _D_LADDERS, _PACKED_MIN_RES, packed_noise_inject
 
 
 def _embed(num: int, dim: int, name: str, module: nn.Module):
@@ -71,6 +71,11 @@ class FFCCondGenerator(nn.Module):
     # reference-parity semantics, required for checkpoint migration
     cond_spectral_bn: bool = False
     impl: Optional[str] = None
+    packed: Optional[bool] = None  # None -> $FFC_TPU_PACKED / size gate
+
+    @property
+    def resolution(self) -> int:
+        return self.mg * (2 ** len(self.channel_mults))
 
     @nn.compact
     def __call__(
@@ -105,9 +110,17 @@ class FFCCondGenerator(nn.Module):
         else:
             raise ValueError(self.stem)
 
-        feat = (x, None)
-        in_ratio = 0.0
         nclass = self.num_classes if self.cond_bn else 0
+        # packed-branch mode (nn/ffc.py Packed): same size gate as
+        # FFCGenerator; conditional BN has no packed path, so cond_bn
+        # presets (32/48px — below the gate anyway) stay on tuples.
+        packed = (
+            self.packed
+            if self.packed is not None
+            else packed_enabled(default=self.resolution >= _PACKED_MIN_RES)
+        ) and nclass <= 1
+        feat = Packed(x, x.shape[-1]) if packed else (x, None)
+        in_ratio = 0.0
         for i, mult in enumerate(self.channel_mults):
             feat = FFC_BN_ACT(
                 in_channels=self.ngf * 8 if i == 0 else self.ngf * self.channel_mults[i - 1],
@@ -123,14 +136,18 @@ class FFCCondGenerator(nn.Module):
                 num_classes=nclass,
                 cond_spectral_bn=self.cond_spectral_bn,
                 impl=self.impl,
+                packed=packed,
                 name=f"block{i}",
             )(feat, train, y if nclass > 1 else None)
             if train:
-                x_l, x_g = feat
-                x_l = NoiseInjection(name=f"lcl_noise{i}")(x_l)
-                if x_g is not None:
-                    x_g = NoiseInjection(name=f"glb_noise{i}")(x_g)
-                feat = (x_l, x_g)
+                if packed:
+                    feat = packed_noise_inject(feat, i)
+                else:
+                    x_l, x_g = feat
+                    x_l = NoiseInjection(name=f"lcl_noise{i}")(x_l)
+                    if x_g is not None:
+                        x_g = NoiseInjection(name=f"glb_noise{i}")(x_g)
+                    feat = (x_l, x_g)
             in_ratio = self.ratio_g
 
         feat = FFC_BN_ACT(
@@ -145,6 +162,7 @@ class FFCCondGenerator(nn.Module):
             activation="tanh",
             upsampling=False,
             impl=self.impl,
+            packed=packed,
             name="to_rgb",
         )(feat, train)
         return resize_output(feat)

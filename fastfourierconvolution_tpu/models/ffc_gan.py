@@ -49,6 +49,23 @@ def to_uint8(x: jax.Array) -> jax.Array:
     return (255.0 * (jnp.clip(x, -1.0, 1.0) * 0.5 + 0.5)).astype(jnp.uint8)
 
 
+def packed_noise_inject(p: Packed, i: int) -> Packed:
+    """Both branches' NoiseInjection in one full-lane pass; the
+    NoiseWeightHolder children attach to the calling module (flax's
+    dynamic compact context) and keep the exact lcl/glb_noise{i} param
+    tree and PRNG folds of the tuple path."""
+    arr, cl = p.x, p.cl
+    cg = arr.shape[-1] - cl
+    w_l, n_l = NoiseWeightHolder(cl, name=f"lcl_noise{i}")(arr)
+    if cg == 0:
+        return Packed(arr + w_l.astype(arr.dtype) * n_l, cl)
+    w_g, n_g = NoiseWeightHolder(cg, name=f"glb_noise{i}")(arr)
+    w = jnp.concatenate([w_l, w_g], axis=-1).astype(arr.dtype)
+    sel = jnp.arange(arr.shape[-1]) >= cl
+    noise = jnp.where(sel, n_g, n_l)
+    return Packed(arr + w * noise, cl)
+
+
 class FFCGenerator(nn.Module):
     """Parametric FFC DCGAN-style generator.
 
@@ -122,7 +139,7 @@ class FFCGenerator(nn.Module):
             )(feat, train)
             if train:
                 if packed:
-                    feat = self._packed_noise(feat, i)
+                    feat = packed_noise_inject(feat, i)
                 else:
                     x_l, x_g = feat
                     x_l = NoiseInjection(name=f"lcl_noise{i}")(x_l)
@@ -147,21 +164,6 @@ class FFCGenerator(nn.Module):
             name="to_rgb",
         )(feat, train)
         return resize_output(feat)
-
-    def _packed_noise(self, p: Packed, i: int) -> Packed:
-        """Both branches' NoiseInjection in one full-lane pass; the
-        NoiseWeightHolder children keep the exact lcl/glb_noise{i} param
-        tree and PRNG folds of the tuple path."""
-        arr, cl = p.x, p.cl
-        cg = arr.shape[-1] - cl
-        w_l, n_l = NoiseWeightHolder(cl, name=f"lcl_noise{i}")(arr)
-        if cg == 0:
-            return Packed(arr + w_l.astype(arr.dtype) * n_l, cl)
-        w_g, n_g = NoiseWeightHolder(cg, name=f"glb_noise{i}")(arr)
-        w = jnp.concatenate([w_l, w_g], axis=-1).astype(arr.dtype)
-        sel = jnp.arange(arr.shape[-1]) >= cl
-        noise = jnp.where(sel, n_g, n_l)
-        return Packed(arr + w * noise, cl)
 
     @staticmethod
     def for_resolution(

@@ -159,6 +159,66 @@ def test_ffc_bn_act_downsampling_packed_matches_tuple():
     _tree_allclose(mut_t, mut_p, atol=1e-6)
 
 
+def test_cond_generator_packed_matches_tuple():
+    """FFCCondGenerator (the tex128 shape: convt stem, cond_bn=False —
+    the only conditional preset at/above the packed size gate) must be
+    mode-invariant like the unconditional ladder."""
+    from fastfourierconvolution_tpu.models.conditional import (
+        FFCCondGenerator,
+    )
+
+    def make(packed):
+        return FFCCondGenerator(
+            z_size=16,
+            num_classes=3,
+            ngf=16,
+            ratio_g=0.5,
+            mg=4,
+            channel_mults=(4, 2, 1),
+            stem="convt",
+            cond_bn=False,
+            packed=packed,
+        )
+
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "noise": jax.random.PRNGKey(7),
+    }
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, 16), jnp.float32)
+    y = jnp.array([0, 2, 1])
+    g_t, g_p = make(False), make(True)
+    v_t = g_t.init(rngs, z, True, y)
+    v_p = g_p.init(rngs, z, True, y)
+    assert jax.tree_util.tree_structure(v_t) == jax.tree_util.tree_structure(
+        v_p
+    )
+    _tree_allclose(v_t, v_p, atol=0.0, rtol=0.0)
+
+    noise_rng = {"noise": jax.random.PRNGKey(9)}
+    out_t, mut_t = g_t.apply(
+        v_t, z, True, y, rngs=noise_rng, mutable=["batch_stats"]
+    )
+    out_p, mut_p = g_p.apply(
+        v_t, z, True, y, rngs=noise_rng, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_p), atol=2e-5, rtol=1e-5
+    )
+    _tree_allclose(mut_t, mut_p, atol=1e-6)
+
+    # cond_bn presets must silently stay on the tuple path even when
+    # packed is requested (no conditional-BN packed support)
+    g_cbn = FFCCondGenerator(
+        z_size=16, num_classes=3, ngf=16, mg=4, channel_mults=(2, 1),
+        stem="dense", cond_bn=True, packed=True,
+    )
+    v = g_cbn.init(rngs, z, True, y)
+    out = g_cbn.apply(
+        v, z, True, y, rngs=noise_rng, mutable=["batch_stats"]
+    )[0]
+    assert out.shape == (3, 16, 16, 3)
+
+
 def test_packed_env_gate(monkeypatch):
     monkeypatch.setenv("FFC_TPU_PACKED", "1")
     assert ffc_mod.packed_enabled()
