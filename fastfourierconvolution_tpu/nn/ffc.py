@@ -736,10 +736,18 @@ class FFC_BN_ACT(nn.Module):
             return Packed(act(arr), cl)
         cg = arr.shape[-1] - cl
         in_dtype = arr.dtype
-        xf = arr.astype(jnp.float32)
         if train:
-            bmean = jnp.mean(xf, axis=(0, 1, 2))
-            bvar = jnp.mean(xf * xf, axis=(0, 1, 2)) - bmean * bmean
+            # f32-ACCUMULATING reductions over the (bf16) array, each
+            # fusing its own upcast. A shared ``xf = arr.astype(f32)``
+            # here has three consumers (two stat reduces + the apply),
+            # which XLA materializes to HBM — the round-3 128px trace
+            # showed it as a 512 MB f32 buffer costing ~3 ms/step of
+            # pure bandwidth on block4 alone.
+            bmean = jnp.mean(arr, axis=(0, 1, 2), dtype=jnp.float32)
+            bvar = (
+                jnp.mean(jnp.square(arr.astype(jnp.float32)), axis=(0, 1, 2))
+                - bmean * bmean
+            )
         else:
             bmean = bvar = None
 
@@ -759,8 +767,18 @@ class FFC_BN_ACT(nn.Module):
             else tuple(jnp.concatenate(t) for t in zip(*parts))
         )
         inv = jax.lax.rsqrt(var + 1e-5)
-        out = (xf - mean) * (inv * scale) + bias
-        return Packed(act(out).astype(in_dtype), cl)
+        # independent upcast for the apply consumer; the barrier keeps
+        # CSE from merging it back with the stats upcasts (which would
+        # recreate the shared, HBM-materialized f32 map). Downcast
+        # BEFORE the activation, exactly like the tuple path
+        # (layers.BatchNorm returns in_dtype, then act runs on it) —
+        # which also makes the activation residual saved for the
+        # backward bf16 instead of f32.
+        arr_ap = jax.lax.optimization_barrier(arr)
+        out = (
+            (arr_ap.astype(jnp.float32) - mean) * (inv * scale) + bias
+        ).astype(in_dtype)
+        return Packed(act(out), cl)
 
 
 def _add_opt(a: Branch, b: Branch) -> Branch:

@@ -97,12 +97,25 @@ def _tapmix_applicable(x, kernel, sh, sw, ph, pw, dh, dw, groups) -> bool:
 
 
 def _conv2d_tapmix(x, kernel, ph, pw):
-    """Stride-1 conv as channel-mix matmul + kh*kw shifted adds (exact)."""
+    """Stride-1 conv as channel-mix matmul + kh*kw shifted adds (exact).
+
+    The mix matrix's output dim is padded up to a multiple of 8 lanes
+    and the tap array is kept FLAT (channel-group slices instead of a
+    5-D reshape): the round-3 128px trace showed the unpadded
+    (1M, 27) matmul running at 94 GB/s and the (.., 9, 3) reshape
+    relayouting at 56 GB/s; the padded+flat form measured 2.72 ms vs
+    3.09 ms fwd+bwd on the (64,128,128,128)->3 to_rgb shape (TPU v5e).
+    Zero pad columns are sliced off before use — bit-identical math.
+    """
     b, h, w, ci = x.shape
     kh, kw, _, co = kernel.shape
     oh = h + 2 * ph - kh + 1
     ow = w + 2 * pw - kw + 1
-    km = kernel.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+    n = kh * kw * co
+    n_pad = -(-n // 8) * 8
+    km = kernel.transpose(2, 0, 1, 3).reshape(ci, n)
+    if n_pad != n:
+        km = jnp.zeros((ci, n_pad), km.dtype).at[:, :n].set(km)
     # default keeps the per-tap partials in f32: downcasting them to bf16
     # before the tap accumulation adds a rounding step the direct conv
     # (one f32 MXU accumulation over ci AND taps) does not have; the
@@ -112,13 +125,15 @@ def _conv2d_tapmix(x, kernel, ph, pw):
     )
     if _tapmix_bf16_active():
         z = z.astype(jnp.bfloat16)
-    z = z.reshape(b, h, w, kh * kw, co)
-    zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0), (0, 0)))
+    z = z[:, :n].reshape(b, h, w, n)
+    zp = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
     y = jnp.zeros((b, oh, ow, co), jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
             t = dy * kw + dx
-            y = y + zp[:, dy : dy + oh, dx : dx + ow, t].astype(jnp.float32)
+            y = y + zp[
+                :, dy : dy + oh, dx : dx + ow, t * co : (t + 1) * co
+            ].astype(jnp.float32)
     return y
 
 
