@@ -8,6 +8,7 @@ for SN power-iteration vectors) instead of in-place buffer mutation.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -488,13 +489,45 @@ class SELayer(nn.Module):
         return x * y[:, None, None, :]
 
 
+# Fast-GELU gate. torch nn.GELU's default (the reference's choice,
+# fgan128_complete.py:458-479) is the exact erf form; its erfc/exp
+# polynomial chains are VPU-bound on TPU — the round-3 128px trace put
+# the GELU elementwise fusions at ~6.5 ms of a 71 ms step, and the
+# tanh form measured 40% faster on the (64,128,128,128) map (fwd 1.71
+# vs 2.82 ms, grad 1.70 vs 2.96). The tanh approximation's max abs
+# deviation from exact GELU is 4.3e-4 — ~10x BELOW bf16 output
+# quantization (1 ulp at unit scale is 3.9e-3, tests/test_layers.py
+# bound) — so a bf16 activation pipeline cannot meaningfully
+# distinguish the two. Policy default: tanh iff the value being
+# activated is bf16; f32 runs (golden/parity tests, f32 training)
+# always get exact erf. FFC_TPU_FAST_GELU=0/1 forces either way.
+_FAST_GELU = os.environ.get("FFC_TPU_FAST_GELU", "policy")
+
+
+def set_fast_gelu(mode) -> None:
+    """mode: "policy" (tanh iff bf16 input), True/1 force tanh,
+    False/0 force exact erf."""
+    global _FAST_GELU
+    _FAST_GELU = (
+        mode if mode == "policy" else ("1" if mode and mode != "0" else "0")
+    )
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    if _FAST_GELU == "policy":
+        fast = x.dtype == jnp.bfloat16
+    else:
+        fast = _FAST_GELU != "0"
+    return nn.gelu(x, approximate=fast)
+
+
 # Activation registry (reference passes activation classes around;
 # FFC_BN_ACT gives LeakyReLU slope 0.1, reference layers/ffc/ffc_bn_act.py:66-67).
 ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "identity": lambda x: x,
     "relu": nn.relu,
-    # exact (erf) gelu, matching torch nn.GELU's default
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    # exact (erf) gelu for f32, tanh form for bf16 (see gate above)
+    "gelu": gelu,
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
     "leaky_relu_0.2": lambda x: nn.leaky_relu(x, negative_slope=0.2),
     "tanh": jnp.tanh,

@@ -248,3 +248,37 @@ def test_fourier_unit_param_tree_impl_independent():
             )
     finally:
         fops.set_default_impl(prev)
+
+
+def test_fast_gelu_policy_and_error_bound():
+    """The policy-gated GELU: tanh form iff the input is bf16, exact erf
+    otherwise; the tanh approximation's deviation from exact GELU must
+    stay an order below bf16 output quantization (nn/layers.py gate)."""
+    from fastfourierconvolution_tpu.nn import layers as L
+
+    x32 = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    # f32 input under the default policy -> exact erf
+    got = L.ACTIVATIONS["gelu"](x32)
+    want = jax.nn.gelu(x32, approximate=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # bf16 input -> tanh form
+    xb = x32.astype(jnp.bfloat16)
+    got_b = L.ACTIVATIONS["gelu"](xb)
+    want_b = jax.nn.gelu(xb, approximate=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_b, np.float32), np.asarray(want_b, np.float32)
+    )
+    # approximation quality: tanh-GELU within 5e-4 of exact in f32 —
+    # ~10x below the 3.9e-3 bf16 ulp at unit scale
+    approx = jax.nn.gelu(x32, approximate=True)
+    assert float(jnp.max(jnp.abs(approx - want))) < 5e-4
+    # the force-off override restores exact erf for bf16 too
+    L.set_fast_gelu(False)
+    try:
+        got_off = L.ACTIVATIONS["gelu"](xb)
+        want_off = jax.nn.gelu(xb, approximate=False)
+        np.testing.assert_array_equal(
+            np.asarray(got_off, np.float32), np.asarray(want_off, np.float32)
+        )
+    finally:
+        L.set_fast_gelu("policy")
