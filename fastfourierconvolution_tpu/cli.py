@@ -612,10 +612,10 @@ def _resolve_fidelity_input(spec: str, args, idx: int = 1):
     .pt/.pth generative model (reference JIT-model input,
     torch_fidelity/utils.py:279-286; latent spec from
     --input{N}-model-z-size/-z-type/-num-classes), or a training output
-    dir with checkpoints (loaded as a generative model via --preset).
-    Mirrors the reference's input descriptor kinds
-    (torch_fidelity/utils.py:211-322; the ONNX kind needs onnxruntime,
-    absent in this image — documented N/A)."""
+    dir with checkpoints (loaded as a generative model via --preset),
+    or an .onnx generative model (needs onnxruntime, optional exactly
+    as in the reference). Mirrors the reference's input descriptor
+    kinds (torch_fidelity/utils.py:211-322)."""
     import numpy as np
 
     from .eval import pipeline
@@ -627,10 +627,15 @@ def _resolve_fidelity_input(spec: str, args, idx: int = 1):
         return data[list(data.keys())[0]]
     if spec.endswith(".npy"):
         return np.load(spec)
-    if spec.endswith((".pt", ".pth")):
+    if spec.endswith((".pt", ".pth", ".onnx")):
         if not os.path.isfile(spec):
             raise SystemExit(f"fidelity: no such model file: {spec}")
-        return pipeline.torchscript_generative_model(
+        factory = (
+            pipeline.onnx_generative_model
+            if spec.endswith(".onnx")
+            else pipeline.torchscript_generative_model
+        )
+        return factory(
             spec,
             z_size=getattr(args, f"input{idx}_model_z_size"),
             z_type=getattr(args, f"input{idx}_model_z_type"),

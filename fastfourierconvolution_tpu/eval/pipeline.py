@@ -75,17 +75,78 @@ def torchscript_generative_model(
                 )
             else:
                 out = module(zt)
-        arr = out.cpu().numpy()
-        assert arr.ndim == 4, f"JIT model must emit NCHW/NHWC, got {arr.shape}"
-        if arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
-            arr = arr.transpose(0, 2, 3, 1)  # NCHW (torch-native) -> NHWC
-        if arr.dtype != np.uint8:
-            arr = (
-                255.0 * (np.clip(arr, -1.0, 1.0) * 0.5 + 0.5)
-            ).astype(np.uint8)
-        if arr.shape[-1] == 1:
-            arr = np.repeat(arr, 3, axis=-1)
-        return arr
+        return _normalize_model_images(out.cpu().numpy())
+
+    return GenerativeModel(
+        apply=apply, z_size=z_size, z_type=z_type, num_classes=num_classes
+    )
+
+
+def _normalize_model_images(arr: np.ndarray) -> np.ndarray:
+    """Normalise a generative model's raw output batch to the uint8 NHWC
+    contract shared by every metric input kind: NCHW is transposed when
+    detected, float outputs get the reference's eval conversion
+    ``255 * (clamp(-1,1) * 0.5 + 0.5)`` (fgan_complete.py:137-138), and
+    grayscale is repeated to RGB."""
+    assert arr.ndim == 4, f"model must emit NCHW/NHWC, got {arr.shape}"
+    if arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = arr.transpose(0, 2, 3, 1)  # NCHW (torch-native) -> NHWC
+    if arr.dtype != np.uint8:
+        arr = (255.0 * (np.clip(arr, -1.0, 1.0) * 0.5 + 0.5)).astype(
+            np.uint8
+        )
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    return arr
+
+
+def onnx_generative_model(
+    path: str, z_size: int, z_type: str = "normal", num_classes: int = 0
+) -> GenerativeModel:
+    """ONNX generative-model input — the reference's
+    ``GenerativeModelONNX`` kind (generative_model_onnx.py:1,
+    utils.py:272): an ``.onnx`` graph mapping noise (+ int64 labels when
+    ``num_classes > 0``) to images, run through onnxruntime.
+
+    Like the reference, onnxruntime is an optional dependency: when it
+    is not importable this raises with installation guidance
+    (generative_model_onnx.py:33-49 prints the same advice before
+    re-raising). Inputs are fed positionally by the session's declared
+    input names; the first output is normalised to the uint8 NHWC
+    contract.
+    """
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f'ONNX model file not found at "{path}"')
+    assert z_size > 0, "z_size must be a positive integer"
+    assert z_type in ("normal", "unit", "uniform_0_1"), z_type
+    try:
+        import onnxruntime
+    except ImportError as e:
+        raise RuntimeError(
+            "Loading ONNX generative models requires the 'onnxruntime' "
+            "package (pip install onnxruntime), which this image does "
+            "not bundle — the reference treats it as an optional "
+            "dependency too (generative_model_onnx.py:33-49). "
+            "Alternatively pass a GenerativeModel instance or a "
+            "TorchScript .pt/.pth model to calculate_metrics."
+        ) from e
+
+    session = onnxruntime.InferenceSession(path)
+    input_names = [a.name for a in session.get_inputs()]
+
+    def apply(z, labels=None):
+        feeds = [np.asarray(z, np.float32)]
+        if labels is not None:
+            feeds.append(np.asarray(labels, np.int64))
+        if len(feeds) != len(input_names):
+            raise ValueError(
+                f"ONNX model declares inputs {input_names}, "
+                f"got {len(feeds)} arguments"
+            )
+        out = session.run(None, dict(zip(input_names, feeds)))[0]
+        if not isinstance(out, np.ndarray):
+            raise TypeError(f"invalid ONNX model output: {type(out)}")
+        return _normalize_model_images(out)
 
     return GenerativeModel(
         apply=apply, z_size=z_size, z_type=z_type, num_classes=num_classes

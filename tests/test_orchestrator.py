@@ -284,6 +284,61 @@ def test_torchscript_generative_model_input(tmp_path, toy_extractors):
     assert np.isfinite(out[KEY_FID])
 
 
+def test_onnx_generative_model_input(tmp_path, toy_extractors,
+                                     monkeypatch):
+    """The reference's ONNX generative-model input kind
+    (generative_model_onnx.py:1): an onnxruntime InferenceSession maps
+    noise to images. onnxruntime isn't bundled in this image (the
+    reference treats it as optional too), so the session layer is
+    stubbed; this exercises the real feed-by-input-name + output
+    normalisation + pipeline path."""
+    import sys
+    import types
+
+    rs = np.random.RandomState(7)
+    w = rs.randn(8, 3 * 8 * 8).astype(np.float32) * 0.3
+
+    class FakeSession:
+        def __init__(self, path):
+            assert os.path.isfile(path)
+
+        def get_inputs(self):
+            return [types.SimpleNamespace(name="z")]
+
+        def run(self, out_names, feeds):
+            assert out_names is None and set(feeds) == {"z"}
+            img = np.tanh(feeds["z"] @ w).reshape(-1, 3, 8, 8)
+            return [img]
+
+    fake = types.ModuleType("onnxruntime")
+    fake.InferenceSession = FakeSession
+    path = str(tmp_path / "gen.onnx")
+    with open(path, "wb") as f:
+        f.write(b"\x08\x07")  # placeholder bytes; session is stubbed
+
+    # without onnxruntime importable: gated with guidance, like the
+    # reference's ImportError advice (generative_model_onnx.py:33-49)
+    monkeypatch.setitem(sys.modules, "onnxruntime", None)
+    with pytest.raises((RuntimeError, ImportError),
+                       match="onnxruntime"):
+        P.onnx_generative_model(path, z_size=8)
+
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake)
+    gm = P.onnx_generative_model(path, z_size=8)
+    imgs = gm.apply(rs.randn(4, 8).astype(np.float32))
+    assert imgs.shape == (4, 8, 8, 3) and imgs.dtype == np.uint8
+
+    out = P.calculate_metrics(
+        gm, _imgs(seed=5),
+        fid=True,
+        input1_model_num_samples=16,
+        batch_size=8,
+        cache=False,
+        verbose=False,
+    )
+    assert np.isfinite(out[KEY_FID])
+
+
 def test_fidelity_cli_torchscript_model_input(tmp_path, toy_extractors,
                                               capsys):
     """`fidelity gen.pt real.npz -f` end-to-end with the latent-spec
