@@ -474,24 +474,18 @@ def run_train(cfg) -> None:
     print("Training finished.")
 
 
-def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
-               torch_checkpoint: Optional[str] = None) -> None:
-    """Checkpoint -> PNG samples (reference test.py / test_cond.py:
-    class-stratified when conditional, uint8 convention; ``per_sample``
-    saves individual PNGs like test_cond.py:142-146).
-
-    ``torch_checkpoint``: a REFERENCE-repo .pth (FGenerator /
-    FCondGenerator state dict or the FFCModel container) migrated via
-    compat.convert_fgan_generator / convert_fcond_generator — sample
-    directly from checkpoints trained with the PyTorch repo."""
-    if num_samples < 1:
-        raise SystemExit("sample: --num_samples must be >= 1")
+def _load_generator_state(cfg, torch_checkpoint: Optional[str],
+                          command: str):
+    """Build the trainer + generator state for sample/export: restore
+    the latest checkpoint under ``cfg.log.dir_logs``, or migrate a
+    REFERENCE-repo .pth (FGenerator / FCondGenerator state dict or the
+    FFCModel container) via the compat converters. Returns
+    ``(trainer, state, step)``."""
     import jax
     import jax.numpy as jnp
 
     from .train import GANTrainer
     from .train.checkpoint import restore_latest
-    from .utils.logging import save_image_grid
     from .zoo import build_models
 
     g_model, d_model = build_models(cfg)
@@ -516,10 +510,10 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
             from .compat import convert_fcond_generator as _convert
         else:
             raise SystemExit(
-                "sample: --torch_checkpoint supports the 'ffc' generator "
-                "(reference FGenerator checkpoints) and the 'ffc_cond' "
-                "generator (reference FCondGenerator / FCondGeneratorSTL "
-                "checkpoints)"
+                f"{command}: --torch_checkpoint supports the 'ffc' "
+                "generator (reference FGenerator checkpoints) and the "
+                "'ffc_cond' generator (reference FCondGenerator / "
+                "FCondGeneratorSTL checkpoints)"
             )
 
         variables = _convert(torch_checkpoint, mg=cfg.model.mg)
@@ -530,17 +524,67 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
             )
         )
         step = 0
-        print(f"INFO: sampling from reference checkpoint {torch_checkpoint}")
+        print(f"INFO: {command} from reference checkpoint "
+              f"{torch_checkpoint}")
     else:
         ckpt_dir = os.path.join(cfg.log.dir_logs, "checkpoints")
         state, step = restore_latest(state, ckpt_dir)
         if step == 0:
             raise SystemExit(
-                f"sample: no checkpoint found under {ckpt_dir} — sampling "
-                f"would emit noise from random weights. Point -o at a run "
-                f"directory with checkpoints/, or pass --torch_checkpoint."
+                f"{command}: no checkpoint found under {ckpt_dir} — the "
+                f"output would come from random weights. Point -o at a "
+                f"run directory with checkpoints/, or pass "
+                f"--torch_checkpoint."
             )
-        print(f"INFO: sampling from step {step}")
+        print(f"INFO: {command} from step {step}")
+    return trainer, state, step
+
+
+def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
+               torch_checkpoint: Optional[str] = None,
+               exported: Optional[str] = None) -> None:
+    """Checkpoint -> PNG samples (reference test.py / test_cond.py:
+    class-stratified when conditional, uint8 convention; ``per_sample``
+    saves individual PNGs like test_cond.py:142-146).
+
+    ``torch_checkpoint``: a REFERENCE-repo .pth migrated via the compat
+    converters — sample directly from checkpoints trained with the
+    PyTorch repo. ``exported``: sample from a serving artifact
+    (``.ffcx``) instead of model code + checkpoint."""
+    if num_samples < 1:
+        raise SystemExit("sample: --num_samples must be >= 1")
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.logging import save_image_grid
+
+    if exported is not None:
+        from .serving import exported_generative_model, load_exported
+
+        _, meta = load_exported(exported)
+        gm = exported_generative_model(exported)
+        z = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(7), (num_samples, gm.z_size)
+        ))
+        if gm.num_classes > 0:
+            labels = np.arange(num_samples) // max(
+                1, num_samples // gm.num_classes
+            )
+            labels = np.clip(labels, 0, gm.num_classes - 1)
+            imgs = gm.apply(z, labels)
+        else:
+            imgs = gm.apply(z)
+        step = meta.get("step", 0)
+        os.makedirs(cfg.log.dir_logs, exist_ok=True)
+        out = os.path.join(cfg.log.dir_logs, f"samples_{step:06d}.png")
+        save_image_grid(np.asarray(imgs), out)
+        print(f"INFO: sampled from serving artifact {exported}")
+        print(f"saved {out}")
+        return
+
+    trainer, state, step = _load_generator_state(
+        cfg, torch_checkpoint, "sample"
+    )
 
     z = jax.random.normal(jax.random.PRNGKey(7), (num_samples, cfg.model.z_size))
     if cfg.model.conditional:
@@ -606,6 +650,51 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
         print(f"WARNING: feature-map figure failed: {e}")
 
 
+def run_export(cfg, output: Optional[str] = None,
+               platforms=("cpu", "tpu"),
+               torch_checkpoint: Optional[str] = None) -> None:
+    """Serialize the eval-mode generator as a portable serving artifact
+    (StableHLO via jax.export — see serving.py): symbolic batch dim,
+    multi-platform lowering, weights baked in. The artifact samples
+    with `cli sample --exported g.ffcx` and feeds metrics as a
+    generative-model input (`cli fidelity g.ffcx real -f`), mirroring
+    the reference's portable-model kinds (.pth JIT / .onnx,
+    torch_fidelity/utils.py:272-286). Combined with
+    ``--torch_checkpoint``, a reference-trained PyTorch .pth becomes a
+    TPU serving artifact in one command."""
+    from .models import to_uint8
+    from .serving import export_generator, save_exported
+
+    trainer, state, step = _load_generator_state(
+        cfg, torch_checkpoint, "export"
+    )
+
+    if cfg.model.conditional:
+        def generate_fn(z, labels):
+            return to_uint8(trainer.generate(state, z, labels))
+    else:
+        def generate_fn(z):
+            return to_uint8(trainer.generate(state, z))
+
+    blob = export_generator(
+        generate_fn,
+        z_size=cfg.model.z_size,
+        num_classes=(
+            cfg.model.num_classes if cfg.model.conditional else 0
+        ),
+        image_size=cfg.data.image_size,
+        channels=cfg.data.channels,
+        platforms=tuple(platforms),
+        step=step,
+    )
+    if output is None:
+        os.makedirs(cfg.log.dir_logs, exist_ok=True)
+        output = os.path.join(cfg.log.dir_logs, "generator.ffcx")
+    save_exported(output, blob)
+    print(f"exported {output} ({len(blob)} bytes, "
+          f"platforms={','.join(platforms)}, step={step})")
+
+
 def _resolve_fidelity_input(spec: str, args, idx: int = 1):
     """Resolve a fidelity CLI input: a registered dataset name, a
     directory of image samples, a .npz/.npy uint8 array, a TorchScript
@@ -613,9 +702,10 @@ def _resolve_fidelity_input(spec: str, args, idx: int = 1):
     torch_fidelity/utils.py:279-286; latent spec from
     --input{N}-model-z-size/-z-type/-num-classes), or a training output
     dir with checkpoints (loaded as a generative model via --preset),
-    or an .onnx generative model (needs onnxruntime, optional exactly
-    as in the reference). Mirrors the reference's input descriptor
-    kinds (torch_fidelity/utils.py:211-322)."""
+    an .onnx generative model (needs onnxruntime, optional exactly
+    as in the reference), or an .ffcx serving artifact (`cli export`).
+    Mirrors the reference's input descriptor kinds
+    (torch_fidelity/utils.py:211-322)."""
     import numpy as np
 
     from .eval import pipeline
@@ -627,6 +717,12 @@ def _resolve_fidelity_input(spec: str, args, idx: int = 1):
         return data[list(data.keys())[0]]
     if spec.endswith(".npy"):
         return np.load(spec)
+    if spec.endswith(".ffcx"):
+        if not os.path.isfile(spec):
+            raise SystemExit(f"fidelity: no such model file: {spec}")
+        from .serving import exported_generative_model
+
+        return exported_generative_model(spec)
     if spec.endswith((".pt", ".pth", ".onnx")):
         if not os.path.isfile(spec):
             raise SystemExit(f"fidelity: no such model file: {spec}")
@@ -804,7 +900,8 @@ def build_fidelity_parser():
         prog="fidelity", description="Compute generative metrics"
     )
     p.add_argument("input1", help="registered dataset | samples dir | "
-                   ".npz/.npy | run dir with checkpoints/")
+                   ".npz/.npy | .pt/.pth TorchScript model | .onnx | "
+                   ".ffcx serving artifact | run dir with checkpoints/")
     p.add_argument("input2", nargs="?", default=None)
     p.add_argument("-b", "--batch-size", type=int, default=64)
     p.add_argument("-j", "--json", action="store_true",
@@ -974,6 +1071,14 @@ def main(argv: Optional[list] = None) -> None:
             cfg,
             num_samples=extras["num_samples"],
             per_sample=extras["per_sample"],
+            torch_checkpoint=extras["torch_checkpoint"],
+            exported=extras["exported"],
+        )
+    elif command == "export":
+        run_export(
+            cfg,
+            output=extras["output"],
+            platforms=extras["platforms"],
             torch_checkpoint=extras["torch_checkpoint"],
         )
 

@@ -248,7 +248,9 @@ def parse_cli(
     common shortcuts (-b, -e, -l, -o, --dataset, --data_path, --checkpoint
     mirroring the reference flags, config/arg_parser.py:110-178)."""
     p = argparse.ArgumentParser(prog="ffc_tpu")
-    p.add_argument("command", choices=["train", "sample", "fidelity"])
+    p.add_argument(
+        "command", choices=["train", "sample", "export", "fidelity"]
+    )
     p.add_argument("--preset", default=None)
     p.add_argument("--set", action="append", default=[], metavar="K=V")
     p.add_argument("-b", "--batch_size", type=int)
@@ -264,8 +266,17 @@ def parse_cli(
                    help="sample command: save individual PNGs "
                         "(reference test_cond.py:142-146)")
     p.add_argument("--torch_checkpoint", default=None,
-                   help="sample command: load a REFERENCE-repo torch "
-                        ".pth (FGenerator) via the compat converter")
+                   help="sample/export command: load a REFERENCE-repo "
+                        "torch .pth (FGenerator) via the compat converter")
+    p.add_argument("--exported", default=None,
+                   help="sample command: sample from a serving artifact "
+                        "(.ffcx from `export`) instead of a checkpoint")
+    p.add_argument("--output", default=None,
+                   help="export command: artifact path "
+                        "(default <dir_logs>/generator.ffcx)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="export command: comma-separated lowering "
+                        "platforms baked into the artifact")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
@@ -287,5 +298,10 @@ def parse_cli(
     apply_overrides(cfg, args.set)
     extras = {"num_samples": args.num_samples,
               "per_sample": args.per_sample,
-              "torch_checkpoint": args.torch_checkpoint}
+              "torch_checkpoint": args.torch_checkpoint,
+              "exported": args.exported,
+              "output": args.output,
+              "platforms": tuple(
+                  s for s in args.platforms.split(",") if s
+              )}
     return args.command, cfg, extras
