@@ -88,6 +88,7 @@ def run_train(cfg) -> None:
         cfg.data.channels,
         hflip_augment=cfg.data.hflip_augment,
         aug_stack=cfg.data.aug_stack,
+        download=cfg.data.download,
     )
     # ship uint8 batches and normalise on-device: 4x less host->device
     # traffic (identical f32 math; x/127.5 - 1 either side)
@@ -1063,6 +1064,14 @@ def main(argv: Optional[list] = None) -> None:
             "fidelity: put the command first — "
             "ffc_tpu fidelity <input1> [input2] [flags]"
         )
+    if command == "download":
+        # the reference's torchvision download=True branches as a
+        # standalone command (data/download.py manifest)
+        from .data.download import fetch
+
+        paths = fetch(cfg.data.dataset, cfg.data.data_dir)
+        print(f"downloaded {len(paths)} file(s) to {cfg.data.data_dir}")
+        return
     print("Configuration:\n" + cfg.to_json())
     if command == "train":
         run_train(cfg)

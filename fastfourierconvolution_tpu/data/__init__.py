@@ -17,4 +17,5 @@ from .datasets import (  # noqa: F401
     load_stl10,
     load_svhn,
 )
+from .download import DOWNLOADS, fetch  # noqa: F401
 from .loader import DataLoader, normalize_to_unit  # noqa: F401

@@ -583,6 +583,16 @@ _LOADERS: dict[str, Callable] = {
     "stl10": load_stl10,
 }
 
+# Named folder-layout datasets: where their downloadable archives land
+# relative to data_dir (see data/download.py). The reference reaches
+# these through torchvision classes (util/data_loader.py:477-526); here
+# they are ImageFolder layouts after fetch+extract.
+_FOLDER_DATASETS: dict[str, str] = {
+    "flowers": "flowers-102",
+    "omniglot": "images_background",
+    "food101": os.path.join("food-101", "images"),
+}
+
 
 def is_grayscale(name: str) -> bool:
     return name.lower() in GRAYSCALE_DATASETS
@@ -626,6 +636,7 @@ def load_dataset(
     hflip_augment: bool = False,
     aug_stack: Optional[str] = None,
     decode_cache: Optional[bool] = None,
+    download: bool = False,
 ):
     """Config-driven dataset factory (reference load_data,
     util/data_loader.py:431-542): resolves the named dataset / folder /
@@ -638,23 +649,45 @@ def load_dataset(
     contiguous in-memory store (see cache_decoded). Default (None):
     cache deterministic lazy datasets whose decoded size fits the
     FFC_TPU_DECODE_CACHE_MB budget (2048 MB); random-augmented stacks
-    are never cached (they re-sample per access)."""
+    are never cached (they re-sample per access).
+
+    ``download``: fetch missing named datasets from their canonical
+    sources first (the reference's torchvision ``download=True``
+    branches; see data/download.py)."""
     lname = name.lower()
-    if lname == "synthetic":
-        base = SyntheticDataset(size=image_size, channels=channels)
-    elif lname == "shapes":
-        base = ShapesDataset(size=image_size, channels=channels)
-    elif lname in _LOADERS:
-        base = _LOADERS[lname](data_dir, split=split)
-    elif lname == "tar" or lname.endswith(".tar"):
-        path = name if name.endswith(".tar") else data_dir
-        base = TarImageDataset(path, channels=channels)
-    elif lname in ("local", "folder", "local_dataset"):
-        base = ImageFolderDataset(data_dir, channels=channels)
-    elif os.path.isdir(data_dir or name):
-        base = ImageFolderDataset(data_dir or name, channels=channels)
-    else:
+
+    def _resolve():
+        if lname == "synthetic":
+            return SyntheticDataset(size=image_size, channels=channels)
+        if lname == "shapes":
+            return ShapesDataset(size=image_size, channels=channels)
+        if lname in _LOADERS:
+            return _LOADERS[lname](data_dir, split=split)
+        if lname in _FOLDER_DATASETS:
+            root = os.path.join(data_dir, _FOLDER_DATASETS[lname])
+            if not os.path.isdir(root):
+                raise FileNotFoundError(
+                    f"{lname} folder layout not found at {root}"
+                )
+            return ImageFolderDataset(root, channels=channels)
+        if lname == "tar" or lname.endswith(".tar"):
+            path = name if name.endswith(".tar") else data_dir
+            return TarImageDataset(path, channels=channels)
+        if lname in ("local", "folder", "local_dataset"):
+            return ImageFolderDataset(data_dir, channels=channels)
+        if os.path.isdir(data_dir or name):
+            return ImageFolderDataset(data_dir or name, channels=channels)
         raise KeyError(f"unknown dataset '{name}'")
+
+    try:
+        base = _resolve()
+    except FileNotFoundError:
+        from .download import DOWNLOADS, fetch
+
+        if not (download and lname in DOWNLOADS):
+            raise
+        fetch(lname, data_dir)
+        base = _resolve()
 
     if aug_stack is None and hflip_augment:
         aug_stack = "hflip"

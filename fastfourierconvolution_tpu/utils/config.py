@@ -25,6 +25,7 @@ class DataConfig:
     hflip_augment: bool = False
     aug_stack: Optional[str] = None  # flowers|cars|textures|stl_cond|hflip (AUG_STACKS)
     workers: int = 8  # kept for interface parity; loader uses one prefetch thread
+    download: bool = False  # fetch missing named datasets (reference download=True)
 
 
 @dataclass
@@ -249,7 +250,8 @@ def parse_cli(
     mirroring the reference flags, config/arg_parser.py:110-178)."""
     p = argparse.ArgumentParser(prog="ffc_tpu")
     p.add_argument(
-        "command", choices=["train", "sample", "export", "fidelity"]
+        "command",
+        choices=["train", "sample", "export", "fidelity", "download"],
     )
     p.add_argument("--preset", default=None)
     p.add_argument("--set", action="append", default=[], metavar="K=V")
