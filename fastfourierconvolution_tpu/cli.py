@@ -919,6 +919,11 @@ def build_fidelity_parser():
     p.add_argument("--feature-layer-kid", default=None)
     p.add_argument("--feature-layer-prc", default=None)
     p.add_argument("--feature-extractor-weights-path", default=None)
+    p.add_argument("--feature-extractor-internal-dtype", default=None,
+                   choices=["float32", "float64"],
+                   help="extractor compute precision (the reference's "
+                        "feature_extractor_internal_dtype, defaults.py:17)"
+                        "; float64 needs JAX_ENABLE_X64=1")
     p.add_argument("--isc-splits", type=int, default=10)
     p.add_argument("--kid-subsets", type=int, default=100)
     p.add_argument("--kid-subset-size", type=int, default=1000)
@@ -985,6 +990,13 @@ def run_fidelity(argv) -> None:
         raise SystemExit(
             "fidelity: at least one of -i/-f/-k/-r/-p must be given"
         )
+    if args.feature_extractor_internal_dtype == "float64":
+        # enable x64 for the whole run (an entry point, so nothing f32
+        # was traced yet); JAX_ENABLE_X64=1 alone can be preempted by
+        # environments that import jax before argv parsing
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     input1 = _resolve_fidelity_input(args.input1, args, idx=1)
     input2 = (
         _resolve_fidelity_input(args.input2, args, idx=2)
@@ -1033,6 +1045,9 @@ def run_fidelity(argv) -> None:
         ppl_discard_percentile_lower=args.ppl_discard_percentile_lower,
         ppl_discard_percentile_higher=args.ppl_discard_percentile_higher,
         feature_extractor_weights_path=args.feature_extractor_weights_path,
+        feature_extractor_internal_dtype=(
+            args.feature_extractor_internal_dtype
+        ),
         lpips_weights_path=args.lpips_weights_path,
         vgg_weights_path=args.vgg_weights_path,
         cache=not args.no_cache,

@@ -111,10 +111,14 @@ class BasicConv2d(nn.Module):
         # lecun-normal keeps random-init activations unit-scale through the
         # deep stack (matters only in weights-free pipeline-test mode; real
         # runs overwrite with converted TF weights)
+        # explicit f32 init dtype: keeps the random draws (weights-free
+        # mode) bit-identical whether or not x64 mode is active for an
+        # internal_dtype='float64' run
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
         )
         x = lax.conv_general_dilated(
             x,
@@ -125,10 +129,10 @@ class BasicConv2d(nn.Module):
         )
         # inference-only BN: y = (x - mean) / sqrt(var + eps) * gamma + beta
         c = self.features
-        mean = self.param("bn_mean", nn.initializers.zeros, (c,))
-        var = self.param("bn_var", nn.initializers.ones, (c,))
-        gamma = self.param("bn_scale", nn.initializers.ones, (c,))
-        beta = self.param("bn_bias", nn.initializers.zeros, (c,))
+        mean = self.param("bn_mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("bn_var", nn.initializers.ones, (c,), jnp.float32)
+        gamma = self.param("bn_scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bn_bias", nn.initializers.zeros, (c,), jnp.float32)
         x = (x - mean) * lax.rsqrt(var + 1e-3) * gamma + beta
         return nn.relu(x)
 
@@ -229,6 +233,12 @@ class InceptionV3(nn.Module):
     # weights-free mode: logits from a random projection of the pooled
     # '192' tap (the deep 2048-d head is degenerate under random init)
     shallow_logits: bool = False
+    # the reference's feature_extractor_internal_dtype
+    # (feature_extractor_inceptionv3.py:32,98-108): the uint8 input is
+    # cast to this dtype BEFORE the TF1 resize so the whole pipeline,
+    # resize included, runs at the requested precision. 'float64'
+    # requires jax x64 mode (validated by the pipeline layer).
+    internal_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
@@ -239,7 +249,7 @@ class InceptionV3(nn.Module):
             assert f in FEATURE_NAMES, f
         out: Dict[str, jax.Array] = {}
 
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.dtype(self.internal_dtype))
         x = resize_bilinear_tf1(x, (299, 299), align_corners=False)
         x = (x - 128.0) / 128.0
 
@@ -271,9 +281,11 @@ class InceptionV3(nn.Module):
                     "fc192_kernel",
                     nn.initializers.lecun_normal(),
                     (192, 1008),
+                    jnp.float32,
                 )
                 b = self.param(
-                    "fc192_bias", nn.initializers.zeros, (1008,)
+                    "fc192_bias", nn.initializers.zeros, (1008,),
+                    jnp.float32,
                 )
                 # per-image layernorm + gain before the projection: the
                 # raw pooled magnitudes are tiny under random init, so
@@ -319,9 +331,10 @@ class InceptionV3(nn.Module):
             "shallow_logits filled every requested tap already"
         )
         w = self.param(
-            "fc_kernel", nn.initializers.lecun_normal(), (2048, 1008)
+            "fc_kernel", nn.initializers.lecun_normal(), (2048, 1008),
+            jnp.float32,
         )
-        b = self.param("fc_bias", nn.initializers.zeros, (1008,))
+        b = self.param("fc_bias", nn.initializers.zeros, (1008,), jnp.float32)
         logits_unbiased = x @ w
         if "logits_unbiased" in wanted:
             out["logits_unbiased"] = logits_unbiased
@@ -404,18 +417,41 @@ def create_extractor(
     features_list: Sequence[str] = ("2048", "logits_unbiased"),
     weights_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
+    internal_dtype: Optional[str] = None,
 ):
     """Build (module, variables). Loads converted TF-compat weights when
     available; otherwise random init with ``shallow_logits=True``
-    (discriminative pipeline-test mode — see module docstring)."""
+    (discriminative pipeline-test mode — see module docstring).
+
+    ``internal_dtype``: 'float32' (default) or 'float64' — the
+    reference's feature_extractor_internal_dtype knob
+    (feature_extractor_inceptionv3.py:56-64,98): both the weights and
+    the in-model compute are cast to that dtype.
+    """
+    dtype = internal_dtype or "float32"
     path = weights_path or find_local_weights()
     module = InceptionV3(
-        features_list=tuple(features_list), shallow_logits=path is None
+        features_list=tuple(features_list),
+        shallow_logits=path is None,
+        internal_dtype=dtype,
     )
     if path is not None:
         variables = load_torch_weights(path)
     else:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, 8, 8, 3), jnp.uint8)
-        variables = module.init(rng, dummy)
+        # init through an f32-compute module so the random draws are
+        # identical regardless of internal_dtype / x64 mode (same
+        # impl-independent-tree rule as nn/ffc.py); the cast below sets
+        # the compute dtype
+        init_module = module.clone(internal_dtype="float32")
+        variables = init_module.init(rng, dummy)
+    if dtype != "float32":
+        target = jnp.dtype(dtype)
+        variables = jax.tree.map(
+            lambda v: v.astype(target)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            variables,
+        )
     return module, variables

@@ -244,6 +244,24 @@ DEFAULT_FEATURE_EXTRACTOR = {
 }
 
 
+def _validate_internal_dtype(internal_dtype: Optional[str]) -> None:
+    """The reference's feature_extractor_internal_dtype contract
+    (feature_extractor_inceptionv3.py:56-64): 'float32', 'float64' or
+    None. float64 additionally needs jax x64 mode, without which the
+    casts silently degrade to f32."""
+    assert internal_dtype in (None, "float32", "float64"), (
+        f"feature_extractor_internal_dtype must be 'float32', 'float64' "
+        f"or None, got {internal_dtype!r}"
+    )
+    if internal_dtype == "float64" and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "feature_extractor_internal_dtype='float64' requires jax "
+            "x64 mode: set JAX_ENABLE_X64=1, call "
+            "jax.config.update('jax_enable_x64', True) at startup, or "
+            "wrap the call in jax.experimental.enable_x64()."
+        )
+
+
 class FeatureExtractor:
     """jit'd batched feature extraction for any registered extractor."""
 
@@ -254,13 +272,16 @@ class FeatureExtractor:
         batch_size: int = 128,
         name: str = "inception-v3-compat",
         mesh=None,
+        internal_dtype: Optional[str] = None,
     ):
         self.name = name
         self.features_list = tuple(sorted(set(features_list)))
         self.batch_size = batch_size
+        _validate_internal_dtype(internal_dtype)
         if name == "inception-v3-compat":
             self.module, self.variables = create_extractor(
-                self.features_list, weights_path
+                self.features_list, weights_path,
+                internal_dtype=internal_dtype,
             )
         else:
             from . import registry
@@ -275,6 +296,19 @@ class FeatureExtractor:
             self.module, self.variables = factory(
                 self.features_list, weights_path
             )
+            if internal_dtype not in (None, "float32"):
+                # generic dtype promotion for registry extractors
+                # (vgg16/clip/dinov2): f64 weights promote every op after
+                # the module's internal input cast to f64 under jax x64,
+                # matching the reference's model-wide .to(dtype)
+                # (feature_extractor_vgg16.py et al. share the kwarg)
+                target = jnp.dtype(internal_dtype)
+                self.variables = jax.tree.map(
+                    lambda v: v.astype(target)
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    else v,
+                    self.variables,
+                )
         if mesh is not None:
             # sharded eval extraction (SURVEY §5.8): images sharded over
             # the mesh's dp axis, extractor weights replicated; features
@@ -360,14 +394,16 @@ def get_feature_extractor(
     weights_path: Optional[str] = None,
     batch_size: int = 128,
     mesh=None,
+    internal_dtype: Optional[str] = None,
 ) -> FeatureExtractor:
     key = (
         name, tuple(sorted(set(features_list))), weights_path, batch_size,
-        mesh,
+        mesh, internal_dtype,
     )
     if key not in _EXTRACTOR_CACHE:
         _EXTRACTOR_CACHE[key] = FeatureExtractor(
-            features_list, weights_path, batch_size, name, mesh=mesh
+            features_list, weights_path, batch_size, name, mesh=mesh,
+            internal_dtype=internal_dtype,
         )
     return _EXTRACTOR_CACHE[key]
 
@@ -455,6 +491,7 @@ def calculate_metrics(
     ppl_discard_percentile_lower: Optional[float] = 1.0,
     ppl_discard_percentile_higher: Optional[float] = 99.0,
     feature_extractor_weights_path: Optional[str] = None,
+    feature_extractor_internal_dtype: Optional[str] = None,
     lpips_weights_path: Optional[str] = None,
     vgg_weights_path: Optional[str] = None,
     cache: bool = True,
@@ -476,6 +513,7 @@ def calculate_metrics(
     assert isc or fid or kid or prc or ppl, (
         "at least one metric must be requested"
     )
+    _validate_internal_dtype(feature_extractor_internal_dtype)
 
     out: Dict[str, float] = {}
 
@@ -515,6 +553,7 @@ def calculate_metrics(
             ppl_discard_percentile_lower=ppl_discard_percentile_lower,
             ppl_discard_percentile_higher=ppl_discard_percentile_higher,
             feature_extractor_weights_path=feature_extractor_weights_path,
+            feature_extractor_internal_dtype=feature_extractor_internal_dtype,
             lpips_weights_path=lpips_weights_path,
             vgg_weights_path=vgg_weights_path,
             cache=cache,
@@ -578,6 +617,7 @@ def calculate_metrics(
                 weights_path=fe_weights,
                 batch_size=batch_size,
                 mesh=mesh,
+                internal_dtype=feature_extractor_internal_dtype,
             )
 
         def features_for(spec, num_samples, cache_name):

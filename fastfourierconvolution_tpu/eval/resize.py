@@ -49,8 +49,15 @@ def resize_bilinear_tf1(
     """Resize NHWC ``x`` to spatial ``size`` with TF1 bilinear semantics."""
     out_h, out_w = size
     in_h, in_w = x.shape[1], x.shape[2]
-    wh = jnp.asarray(_resize_matrix(in_h, out_h, align_corners))
-    ww = jnp.asarray(_resize_matrix(in_w, out_w, align_corners))
+    # float inputs keep their dtype (the f64 internal_dtype path resizes
+    # in f64 like the reference, which casts before resizing —
+    # feature_extractor_inceptionv3.py:108-115); everything else (uint8)
+    # computes in f32
+    dtype = (
+        x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    )
+    wh = jnp.asarray(_resize_matrix(in_h, out_h, align_corners), dtype)
+    ww = jnp.asarray(_resize_matrix(in_w, out_w, align_corners), dtype)
     ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    x = ein("oh,bhwc->bowc", wh, x.astype(jnp.float32))
+    x = ein("oh,bhwc->bowc", wh, x.astype(dtype))
     return ein("pw,bhwc->bhpc", ww, x)

@@ -113,7 +113,7 @@ def test_weight_paths_routed_by_extractor_identity(toy_extractors,
     real_get = P.get_feature_extractor
 
     def spy(name, features_list, weights_path=None, batch_size=128,
-            mesh=None):
+            mesh=None, internal_dtype=None):
         seen[name] = weights_path
         # route to the toy factory regardless so no real weights load
         return real_get("toy-a" if name != "toy-b" else name,
@@ -367,3 +367,53 @@ def test_fidelity_cli_torchscript_model_input(tmp_path, toy_extractors,
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["frechet_inception_distance"])
+
+
+def test_internal_dtype_validation():
+    """The reference's feature_extractor_internal_dtype contract
+    (feature_extractor_inceptionv3.py:56-64): only float32/float64/None
+    are legal, and float64 demands jax x64 mode (conftest pins it off)."""
+    import jax
+
+    with pytest.raises(AssertionError):
+        P.calculate_metrics(
+            _imgs(), _imgs(seed=3), fid=True, batch_size=8, cache=False,
+            feature_extractor_internal_dtype="bfloat16",
+        )
+    assert not jax.config.jax_enable_x64
+    with pytest.raises(RuntimeError, match="x64"):
+        P.calculate_metrics(
+            _imgs(), _imgs(seed=3), fid=True, batch_size=8, cache=False,
+            feature_extractor_internal_dtype="float64",
+        )
+
+
+@pytest.mark.slow
+def test_internal_dtype_float64_matches_f32_features():
+    """internal_dtype='float64' runs the real extractor end-to-end in f64
+    (reference feature_extractor_inceptionv3.py:98-108: weights and input
+    both cast) and agrees with the f32 pipeline to f32 tolerance — the
+    param tree is init'd identically across dtypes."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, size=(16, 32, 32, 3), dtype=np.uint8)
+    P._EXTRACTOR_CACHE.clear()
+    fe32 = P.FeatureExtractor(["192"], batch_size=8)
+    f32 = fe32.extract(lambda i: imgs[i:i + 8], 16)["192"]
+    with jax.enable_x64():
+        fe64 = P.FeatureExtractor(
+            ["192"], batch_size=8, internal_dtype="float64"
+        )
+        f64 = fe64.extract(lambda i: imgs[i:i + 8], 16)["192"]
+    assert f64.dtype == np.float64
+    rel = np.abs(f64 - f32).max() / (np.abs(f32).max() + 1e-12)
+    assert rel < 1e-4, rel
+    # end-to-end: same images through the f64 metric chain give FID ~ 0
+    with jax.enable_x64():
+        out = P.calculate_metrics(
+            imgs, imgs[::-1].copy(), fid=True, batch_size=8, cache=False,
+            input1_model_num_samples=16, input2_model_num_samples=16,
+            feature_extractor_internal_dtype="float64",
+        )
+    assert abs(out[KEY_FID]) < 1e-6
