@@ -943,6 +943,13 @@ def build_fidelity_parser():
     p.add_argument("--ppl-discard-percentile-higher", type=float,
                    default=99.0)
     p.add_argument("--prc-neighborhood", type=int, default=3)
+    p.add_argument("--prc-batch-size", type=int, default=10000,
+                   help="cdist tile size for PRC (reference "
+                        "defaults.py:36)")
+    p.add_argument("--save-cpu-ram", action="store_true",
+                   help="accepted for reference CLI parity "
+                        "(defaults.py:57); PRC here is always "
+                        "memory-bounded")
     p.add_argument("--lpips-weights-path", default=None)
     p.add_argument("--vgg-weights-path", default=None)
     p.add_argument("--samples-find-deep", action="store_true")
@@ -1037,6 +1044,8 @@ def run_fidelity(argv) -> None:
         kid_kernel_poly_coef0=args.kid_kernel_poly_coef0,
         kid_kernel_rbf_sigma=args.kid_kernel_rbf_sigma,
         prc_neighborhood=args.prc_neighborhood,
+        prc_batch_size=args.prc_batch_size,
+        save_cpu_ram=args.save_cpu_ram,
         ppl_epsilon=args.ppl_epsilon,
         ppl_sample_similarity=args.ppl_sample_similarity,
         ppl_z_interp_mode=args.ppl_z_interp_mode,

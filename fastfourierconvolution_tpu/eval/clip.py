@@ -193,9 +193,14 @@ class CLIPExtractor:
     must stay static under jit."""
 
     def __init__(self, features_list: Sequence[str] = ("clip",),
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None,
+                 internal_dtype: Optional[str] = None):
         self.features_list = tuple(features_list)
         self.config = config
+        # input cast BEFORE resize/normalize so the whole tower runs at
+        # the requested precision (reference feature_extractor_clip.py
+        # shares the internal-dtype kwarg contract)
+        self.internal_dtype = internal_dtype or "float32"
         assert all(f == "clip" for f in self.features_list), (
             f"this extractor only provides the 'clip' feature, "
             f"got {features_list}"
@@ -206,7 +211,7 @@ class CLIPExtractor:
         cfg = self.config
         assert cfg is not None, "CLIPExtractor needs config (from converter)"
         assert x.dtype == jnp.uint8, "CLIP extractor expects uint8 images"
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.dtype(self.internal_dtype))
         res = cfg["resolution"]
         x = resize_bilinear_tf1(x, (res, res), align_corners=False)
         x = (x - _MEAN) / _STD
@@ -461,6 +466,7 @@ def create_clip_extractor(
     weights_path: Optional[str] = None,
     name: str = "clip-vit-b-32",
     rng: Optional[np.random.RandomState] = None,
+    internal_dtype: Optional[str] = None,
 ) -> Tuple[CLIPExtractor, Dict]:
     if weights_path is not None:
         variables = load_clip_torch_weights(weights_path)
@@ -468,5 +474,8 @@ def create_clip_extractor(
         variables = load_clip_state_dict(
             random_clip_state_dict(name, rng or np.random.RandomState(0))
         )
-    module = CLIPExtractor(features_list, config=variables["config"])
+    module = CLIPExtractor(
+        features_list, config=variables["config"],
+        internal_dtype=internal_dtype,
+    )
     return module, {"params": variables["params"]}

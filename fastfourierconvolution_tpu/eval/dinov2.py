@@ -94,9 +94,13 @@ class DINOv2Extractor:
     NHWC) -> {'dinov2': (B, D)}``."""
 
     def __init__(self, features_list: Sequence[str] = ("dinov2",),
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None,
+                 internal_dtype: Optional[str] = None):
         self.features_list = tuple(features_list)
         self.config = config  # static ints stay off the jit inputs
+        # input cast BEFORE resize/normalize — precision covers the
+        # whole tower (same contract as the inception/vgg16 extractors)
+        self.internal_dtype = internal_dtype or "float32"
         assert all(f == "dinov2" for f in self.features_list), (
             f"this extractor only provides the 'dinov2' feature, "
             f"got {features_list}"
@@ -106,7 +110,7 @@ class DINOv2Extractor:
         p = variables["params"]
         heads = self.config["heads"]
         assert x.dtype == jnp.uint8, "DINOv2 extractor expects uint8 images"
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.dtype(self.internal_dtype))
         x = resize_bilinear_tf1(
             x, (INPUT_IMAGE_SIZE, INPUT_IMAGE_SIZE), align_corners=False
         )
@@ -271,6 +275,7 @@ def create_dinov2_extractor(
     weights_path: Optional[str] = None,
     name: str = "dinov2-vit-s-14",
     rng: Optional[np.random.RandomState] = None,
+    internal_dtype: Optional[str] = None,
 ) -> Tuple[DINOv2Extractor, Dict]:
     if weights_path is not None:
         variables = load_dinov2_torch_weights(weights_path)
@@ -278,5 +283,8 @@ def create_dinov2_extractor(
         variables = load_dinov2_state_dict(
             random_dinov2_state_dict(name, rng or np.random.RandomState(0))
         )
-    module = DINOv2Extractor(features_list, config=variables["config"])
+    module = DINOv2Extractor(
+        features_list, config=variables["config"],
+        internal_dtype=internal_dtype,
+    )
     return module, {"params": variables["params"]}

@@ -90,11 +90,16 @@ class VGG16(nn.Module):
     """
 
     features_list: Sequence[str] = ("fc2_relu",)
+    # reference feature_extractor_vgg16.py:69: the uint8 input is cast to
+    # the internal dtype BEFORE resize/normalize, so the whole tower runs
+    # at the requested precision; returned features are cast back to f32
+    # (:90,95)
+    internal_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
         assert x.dtype == jnp.uint8, "VGG16 extractor expects uint8 images"
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.dtype(self.internal_dtype))
         x = resize_bilinear_tf1(x, (224, 224), align_corners=False)
         mean = jnp.asarray([0.485, 0.456, 0.406]) * 255.0
         std = jnp.asarray([0.229, 0.224, 0.225]) * 255.0
@@ -113,10 +118,10 @@ class VGG16(nn.Module):
             x = x @ w + b
             if i == 1:
                 if "fc2" in self.features_list:
-                    out["fc2"] = x
+                    out["fc2"] = x.astype(jnp.float32)
             x = nn.relu(x)
         if "fc2_relu" in self.features_list:
-            out["fc2_relu"] = x
+            out["fc2_relu"] = x.astype(jnp.float32)
         return out
 
 
@@ -261,13 +266,17 @@ def create_vgg16(
     features_list: Sequence[str] = ("fc2_relu",),
     weights_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
+    internal_dtype: Optional[str] = None,
 ):
     """Build (module, variables) for the VGG16 extractor; converts a
     torchvision state dict when provided (or found via
     $FFC_TPU_VGG16_WEIGHTS), random init otherwise."""
     import os
 
-    module = VGG16(features_list=tuple(features_list))
+    module = VGG16(
+        features_list=tuple(features_list),
+        internal_dtype=internal_dtype or "float32",
+    )
     weights_path = weights_path or os.environ.get("FFC_TPU_VGG16_WEIGHTS") or None
     if weights_path is not None:
         variables = load_vgg16_torch_weights(weights_path)

@@ -170,51 +170,98 @@ def kid_features_to_metric(
 # --- improved precision / recall -------------------------------------------
 
 
+def _cdist_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact pairwise Euclidean distances for one (rows x cols) tile."""
+    d2 = (
+        np.sum(a**2, axis=1)[:, None]
+        + np.sum(b**2, axis=1)[None, :]
+        - 2 * a @ b.T
+    )
+    np.clip(d2, 0, None, out=d2)
+    return np.sqrt(d2)
+
+
+def _knn_radii(x: np.ndarray, k: int, batch_size: int) -> np.ndarray:
+    """Per-row distance to the k-th nearest *other* point of ``x``.
+
+    Streaming equivalent of the reference's
+    ``calc_cdist_*(x, x, batch_size).kthvalue(k + 1)``
+    (metric_prc.py:16-40): the self-distance 0 occupies the smallest
+    slot, so the (k+1)-th smallest including self is the k-th neighbor.
+    Memory is bounded by one ``batch_size x batch_size`` tile — the full
+    N x N matrix is never materialized.
+    """
+    n = x.shape[0]
+    radii = np.empty(n, dtype=x.dtype)
+    keep = min(k + 1, n)
+    for i0 in range(0, n, batch_size):
+        rows = x[i0 : i0 + batch_size]
+        best = None  # running (k+1)-smallest distances per row
+        for j0 in range(0, n, batch_size):
+            d = _cdist_chunk(rows, x[j0 : j0 + batch_size])
+            kd = min(keep, d.shape[1])
+            part = np.partition(d, kd - 1, axis=1)[:, :kd]
+            cand = part if best is None else np.concatenate(
+                [best, part], axis=1
+            )
+            kc = min(keep, cand.shape[1])
+            best = np.partition(cand, kc - 1, axis=1)[:, :kc]
+        radii[i0 : i0 + batch_size] = np.sort(best, axis=1)[:, keep - 1]
+    return radii
+
+
+def _coverage(
+    a: np.ndarray, b: np.ndarray, radii_b: np.ndarray, batch_size: int
+) -> float:
+    """Fraction of rows of ``a`` within some ``b`` point's k-NN radius —
+    the reference's ``(cdist(a, b) <= dist_nn_b).any(dim=1)`` reduction
+    (metric_prc.py:30-43, 63-65), tile-chunked."""
+    hits_total = 0
+    for i0 in range(0, a.shape[0], batch_size):
+        rows = a[i0 : i0 + batch_size]
+        h = np.zeros(rows.shape[0], dtype=bool)
+        for j0 in range(0, b.shape[0], batch_size):
+            d = _cdist_chunk(rows, b[j0 : j0 + batch_size])
+            h |= np.any(d <= radii_b[j0 : j0 + batch_size][None, :], axis=1)
+        hits_total += int(h.sum())
+    return hits_total / a.shape[0]
+
+
 def prc_features_to_metric(
-    feat_fake: np.ndarray,
-    feat_real: np.ndarray,
+    features_1: np.ndarray,
+    features_2: np.ndarray,
     neighborhood: int = 3,
     batch_size: int = 10000,
+    save_cpu_ram: bool = False,
 ) -> Dict[str, float]:
     """Improved precision/recall via k-NN radii
     (reference metric_prc.py:16-112, k=3).
 
-    precision: fraction of fake samples inside some real sample's k-NN
-    radius; recall: vice versa.
+    Convention (reference metric_prc.py:70): ``features_1`` is REAL,
+    ``features_2`` is GENERATED. precision = fraction of generated
+    samples inside some real sample's k-NN radius (metric_prc.py:63);
+    recall = vice versa (metric_prc.py:65).
+
+    All distance work is tiled at ``batch_size`` (reference
+    metric_prc.py:16-40) and additionally streamed so the full N x N
+    matrix is never materialized — strictly tighter than the
+    reference's ``save_cpu_ram`` part-mode, so that flag is accepted
+    for API parity but changes nothing (results are identical between
+    the reference's two modes as well; only memory strategy differs).
     """
-    real = np.asarray(feat_real, dtype=np.float64)
-    fake = np.asarray(feat_fake, dtype=np.float64)
+    del save_cpu_ram  # always memory-bounded; see docstring
+    real = np.asarray(features_1, dtype=np.float64)
+    fake = np.asarray(features_2, dtype=np.float64)
+    assert real.ndim == 2 and fake.ndim == 2
+    assert real.shape[1] == fake.shape[1]
+    batch_size = max(1, int(batch_size))
 
-    def knn_radii(x, k):
-        d2 = (
-            np.sum(x**2, axis=1)[:, None]
-            + np.sum(x**2, axis=1)[None, :]
-            - 2 * x @ x.T
-        )
-        np.clip(d2, 0, None, out=d2)
-        d = np.sqrt(d2)
-        # k-th smallest excluding self (self-distance 0 occupies slot 0)
-        return np.sort(d, axis=1)[:, k]
-
-    def coverage(a, b, radii_b):
-        d2 = (
-            np.sum(a**2, axis=1)[:, None]
-            + np.sum(b**2, axis=1)[None, :]
-            - 2 * a @ b.T
-        )
-        np.clip(d2, 0, None, out=d2)
-        d = np.sqrt(d2)
-        return float(np.mean(np.any(d <= radii_b[None, :], axis=1)))
-
-    radii_real = knn_radii(real, neighborhood)
-    radii_fake = knn_radii(fake, neighborhood)
-    precision = coverage(fake, real, radii_real)
-    recall = coverage(real, fake, radii_fake)
-    f_score = (
-        2 * precision * recall / (precision + recall)
-        if precision + recall > 0
-        else 0.0
-    )
+    radii_real = _knn_radii(real, neighborhood, batch_size)
+    radii_fake = _knn_radii(fake, neighborhood, batch_size)
+    precision = _coverage(fake, real, radii_real, batch_size)
+    recall = _coverage(real, fake, radii_fake, batch_size)
+    # guard matches reference metric_prc.py:82
+    f_score = 2 * precision * recall / max(1e-5, precision + recall)
     return {
         KEY_PRC_PRECISION: precision,
         KEY_PRC_RECALL: recall,

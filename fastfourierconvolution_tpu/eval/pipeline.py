@@ -293,15 +293,29 @@ class FeatureExtractor:
                 )
             spec = registry.FEATURE_EXTRACTORS[name]
             factory = spec["factory"] if isinstance(spec, dict) else spec
+            # builtin factories (vgg16/clip/dinov2) thread the dtype into
+            # the module so the input cast + TF1 resize + normalisation
+            # run at the requested precision, like the reference's
+            # pre-tower x.to(dtype) (feature_extractor_vgg16.py:69);
+            # user-registered factories keep the documented 2-arg
+            # signature
+            import inspect
+
+            try:
+                takes_dtype = "internal_dtype" in inspect.signature(
+                    factory
+                ).parameters
+            except (TypeError, ValueError):
+                takes_dtype = False
+            kw = {"internal_dtype": internal_dtype} if takes_dtype else {}
             self.module, self.variables = factory(
-                self.features_list, weights_path
+                self.features_list, weights_path, **kw
             )
             if internal_dtype not in (None, "float32"):
-                # generic dtype promotion for registry extractors
-                # (vgg16/clip/dinov2): f64 weights promote every op after
-                # the module's internal input cast to f64 under jax x64,
-                # matching the reference's model-wide .to(dtype)
-                # (feature_extractor_vgg16.py et al. share the kwarg)
+                # weight promotion for registry extractors: f64 weights
+                # promote every op after the module's input cast to f64
+                # under jax x64, matching the reference's model-wide
+                # .to(dtype) (feature_extractor_vgg16.py:59)
                 target = jnp.dtype(internal_dtype)
                 self.variables = jax.tree.map(
                     lambda v: v.astype(target)
@@ -324,7 +338,7 @@ class FeatureExtractor:
             rep = replicated(mesh)
             self.variables = jax.device_put(self.variables, rep)
             self._apply = jax.jit(
-                lambda v, x: self.module.apply(v, x),
+                lambda v, x: self._apply_f32(v, x),
                 in_shardings=(
                     jax.tree.map(lambda _: rep, self.variables),
                     batch_sharding(mesh),
@@ -332,8 +346,19 @@ class FeatureExtractor:
             )
         else:
             self._apply = jax.jit(
-                lambda v, x: self.module.apply(v, x)
+                lambda v, x: self._apply_f32(v, x)
             )
+
+    def _apply_f32(self, v, x):
+        # every returned feature is float32 regardless of internal_dtype
+        # — the reference casts each tap back on return
+        # (feature_extractor_inceptionv3.py:132-204,
+        # feature_extractor_vgg16.py:90,95), which also keeps cached
+        # .npz features dtype-compatible across f32/f64 runs
+        # (ADVICE r3 medium) and halves the f64 device->host transfer
+        return jax.tree.map(
+            lambda t: t.astype(jnp.float32), self.module.apply(v, x)
+        )
 
     def extract(self, sampler, total: int) -> Dict[str, np.ndarray]:
         chunks: Dict[str, list] = {f: [] for f in self.features_list}
@@ -396,6 +421,9 @@ def get_feature_extractor(
     mesh=None,
     internal_dtype: Optional[str] = None,
 ) -> FeatureExtractor:
+    # validate BEFORE the cache lookup: a cached 'float64' extractor must
+    # not be silently served after x64 mode is disabled (ADVICE r3 low)
+    _validate_internal_dtype(internal_dtype)
     key = (
         name, tuple(sorted(set(features_list))), weights_path, batch_size,
         mesh, internal_dtype,
@@ -483,6 +511,8 @@ def calculate_metrics(
     kid_kernel_poly_coef0: float = 1.0,
     kid_kernel_rbf_sigma: float = 10.0,
     prc_neighborhood: int = 3,
+    prc_batch_size: int = 10000,
+    save_cpu_ram: bool = False,
     ppl_epsilon: float = 1e-4,
     ppl_sample_similarity: str = "lpips-vgg16",
     ppl_z_interp_mode: str = "lerp",
@@ -545,6 +575,8 @@ def calculate_metrics(
             kid_kernel_poly_coef0=kid_kernel_poly_coef0,
             kid_kernel_rbf_sigma=kid_kernel_rbf_sigma,
             prc_neighborhood=prc_neighborhood,
+            prc_batch_size=prc_batch_size,
+            save_cpu_ram=save_cpu_ram,
             ppl_epsilon=ppl_epsilon,
             ppl_sample_similarity=ppl_sample_similarity,
             ppl_z_interp_mode=ppl_z_interp_mode,
@@ -721,11 +753,15 @@ def calculate_metrics(
                 )
             )
         if prc:
+            # reference convention (metric_prc.py:70,104-112): input1 is
+            # REAL, input2 is GENERATED — features_1 <- input1
             out.update(
                 M.prc_features_to_metric(
                     feats1[layer_of["prc"]],
                     feats2[layer_of["prc"]],
                     neighborhood=prc_neighborhood,
+                    batch_size=prc_batch_size,
+                    save_cpu_ram=save_cpu_ram,
                 )
             )
 

@@ -150,6 +150,86 @@ def test_tp_matches_single_device_numerics(devices8):
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=5e-4)
 
 
+def test_checkpoint_roundtrip_across_mesh_shapes(devices8, tmp_path):
+    """Multichip checkpoint round-trip (VERDICT r3 weak-4): save a
+    dp=4 x tp=2-sharded GANState, restore it into (a) a dp=8 x tp=1
+    mesh, (b) a single device, and (c) the original dp=4 x tp=2 mesh,
+    continue training on each, and assert the loss trajectories and
+    final params match the unsharded continuation — the reference's
+    restore-resumes-exactly contract (models/ffcmodel.py:31-64) under
+    resharding."""
+    from fastfourierconvolution_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    trainer = _tiny()
+    key = jax.random.PRNGKey(5)
+    batches = [
+        jnp.tanh(jax.random.normal(jax.random.PRNGKey(10 + i), (16, 8, 8, 3)))
+        for i in range(5)
+    ]
+    state0 = trainer.init(key, batches[0])
+
+    # --- train 2 steps under dp=4 x tp=2, save the SHARDED state -------
+    mesh42 = make_mesh(n_data=4, n_tensor=2, devices=devices8)
+    s42 = state_shardings(mesh42, state0, trainer.g_tx, trainer.d_tx)
+    b42 = batch_sharding(mesh42)
+    step42 = jax.jit(
+        trainer.update_step,
+        in_shardings=(s42, b42),
+        out_shardings=(s42, None),
+    )
+    st = jax.device_put(state0, s42)
+    for i in range(2):
+        st, _ = step42(st, jax.device_put(batches[i], b42))
+    path = save_checkpoint(st, str(tmp_path), int(st.step))
+
+    def continue_3(mesh):
+        template = trainer.init(key, batches[0])
+        restored, step = restore_checkpoint(template, path)
+        assert step == 2
+        if mesh is None:
+            step_fn = jax.jit(trainer.update_step)
+            put_s = lambda s: s
+            put_b = lambda b: b
+        else:
+            s_sh = state_shardings(mesh, template, trainer.g_tx,
+                                   trainer.d_tx)
+            b_sh = batch_sharding(mesh)
+            step_fn = jax.jit(
+                trainer.update_step,
+                in_shardings=(s_sh, b_sh),
+                out_shardings=(s_sh, None),
+            )
+            put_s = lambda s: jax.device_put(s, s_sh)
+            put_b = lambda b: jax.device_put(b, b_sh)
+        s = put_s(restored)
+        losses = []
+        for i in range(2, 5):
+            s, m = step_fn(s, put_b(batches[i]))
+            losses.append((float(m["loss_g"]), float(m["loss_d"])))
+        return losses, s
+
+    ref_losses, ref_state = continue_3(None)  # unsharded ground truth
+    for mesh in (
+        make_mesh(devices=devices8),  # dp=8 x tp=1
+        jax.sharding.Mesh(
+            np.array(devices8[:1]).reshape(1, 1), ("dp", "tp")
+        ),  # single device
+        mesh42,  # back onto the original mesh
+    ):
+        losses, state = continue_3(mesh)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses),
+            rtol=2e-3, atol=1e-3,
+        )
+        fa, _ = jax.flatten_util.ravel_pytree(ref_state.g.params)
+        fb, _ = jax.flatten_util.ravel_pytree(state.g.params)
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   atol=5e-4)
+
+
 def test_sharded_eval_extraction_matches_unsharded(devices8):
     """FeatureExtractor(mesh=...) must give the same features as the
     single-device extractor, gathered to host (SURVEY §5.8 sharded eval)."""
