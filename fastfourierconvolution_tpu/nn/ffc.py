@@ -736,6 +736,30 @@ class FFC_BN_ACT(nn.Module):
             return Packed(act(arr), cl)
         cg = arr.shape[-1] - cl
         in_dtype = arr.dtype
+        if train and self.activation == "gelu":
+            from ..ops.pallas.bn_act import fused_bn_gelu, use_fused_bn_gelu
+
+            if use_fused_bn_gelu(arr):
+                # Fused Pallas path (round-4 lever, ops/pallas/bn_act.py):
+                # stats + normalize + GELU in two minimal-traffic passes.
+                # The holders are called twice — first with train=False
+                # (pure param read, NO running-stat side effect), then
+                # with the op's batch stats to perform the exact same
+                # running-stat update as the jnp path below.
+                holders = []
+                if cl > 0:
+                    holders.append((BatchNormHolder(cl, name="bn_l"), cl))
+                if cg > 0:
+                    holders.append((BatchNormHolder(cg, name="bn_g"), cg))
+                reads = [h(None, None, False) for h, _ in holders]
+                scale = jnp.concatenate([r[2] for r in reads])
+                bias = jnp.concatenate([r[3] for r in reads])
+                out, bmean, bvar = fused_bn_gelu(arr, scale, bias)
+                off = 0
+                for h, cnt in holders:
+                    h(bmean[off:off + cnt], bvar[off:off + cnt], True)
+                    off += cnt
+                return Packed(out, cl)
         if train:
             # f32-ACCUMULATING reductions over the (bf16) array, each
             # fusing its own upcast. A shared ``xf = arr.astype(f32)``

@@ -513,12 +513,17 @@ def set_fast_gelu(mode) -> None:
     )
 
 
-def gelu(x: jax.Array) -> jax.Array:
+def gelu_is_fast(dtype) -> bool:
+    """Whether :func:`gelu` uses the tanh form for this dtype under the
+    current policy (consulted by the fused BN+GELU dispatch,
+    ops/pallas/bn_act.py)."""
     if _FAST_GELU == "policy":
-        fast = x.dtype == jnp.bfloat16
-    else:
-        fast = _FAST_GELU != "0"
-    return nn.gelu(x, approximate=fast)
+        return dtype == jnp.bfloat16
+    return _FAST_GELU != "0"
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return nn.gelu(x, approximate=gelu_is_fast(x.dtype))
 
 
 # Activation registry (reference passes activation classes around;

@@ -1,0 +1,365 @@
+"""Fused packed-BN + tanh-GELU Pallas family (round-4 named lever).
+
+Reference contract being fused: layers/ffc/ffc_bn_act.py:70-82 (conv ->
+per-branch BN -> activation) as restructured by this framework's
+packed-branch mode (nn/ffc.py `_packed_norm_act`): one set of per-channel
+batch statistics over the concatenated branches (identical to per-branch
+stats), f32 normalisation, downcast to the compute dtype BEFORE the
+activation, tanh-form GELU for bf16 (nn/layers.py `gelu` policy).
+
+Why a kernel: the round-3 128px trace (BASELINE.md sink table) shows the
+packed-BN stat reduces running at 56-86 % of the HBM roofline and the
+norm/GELU loop fusions below it; XLA reads the (64,128,128,128) map once
+per stat reduce plus once for the apply. The fused family does the
+minimum possible traffic:
+
+  forward   = stats pass (1 read) + apply pass (1 read + 1 write)
+  backward  = reduce pass (read x, g) + dx pass (read x, g, write dx)
+
+with all per-channel algebra (running-stat updates, the BN backward's
+S1/S2 coefficient folding) done in jnp on (C,) vectors.
+
+Dispatch policy mirrors ops/pallas/fourier_unit.py: OFF by default
+(FFC_TPU_FUSED_BN=1 / :func:`set_fused_bn_enabled` opt in), shape-gated
+(C % 128 == 0, rows divisible into aligned tiles), tanh-GELU only (the
+bf16 policy path — f32/exact-erf runs keep the jnp chain), interpret
+mode off-TPU so CPU tests execute the same kernels. The default flips
+only on a measured in-context win (tools/chip_runbook.md round-4
+item 1); a measured refutation also closes the lever.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5  # flax/torch BatchNorm default, matches nn/ffc.py:769
+
+
+# --- dispatch -----------------------------------------------------------------
+
+_ENABLED = os.environ.get("FFC_TPU_FUSED_BN", "0") not in ("0", "false", "")
+
+
+def set_fused_bn_enabled(enabled: bool) -> None:
+    """Opt the packed path in/out of the fused BN+GELU kernels."""
+    global _ENABLED
+    _ENABLED = bool(enabled)
+
+
+def fused_bn_enabled() -> bool:
+    return _ENABLED
+
+
+def _interpret_default() -> bool:
+    # compiled on TPU; interpreter elsewhere so CPU tests run the same
+    # kernel code (tiny shapes only — interpret mode is slow)
+    return jax.default_backend() != "tpu"
+
+
+def _tile_rows(rows: int, c: int, itemsize: int) -> int:
+    """Largest power-of-two row tile with block size <= ~2 MB that
+    divides ``rows`` (pipelining needs uniform blocks; rows here are
+    always B*H*W = 64 * 2^k in the generator ladder)."""
+    budget = max(8, (2 * 2**20) // max(1, c * itemsize))
+    tr = 1
+    while tr * 2 <= budget and rows % (tr * 2) == 0:
+        tr *= 2
+    return tr
+
+
+def fused_shape_legal(shape: Tuple[int, ...], dtype) -> bool:
+    """C lane-aligned and rows tileable; bf16/f32 only."""
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    rows = b * h * w
+    if c % 128 != 0 or rows < 512:
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    tr = _tile_rows(rows, c, jnp.dtype(dtype).itemsize)
+    return rows % tr == 0 and tr >= 256
+
+
+# --- tanh-GELU and its derivative ----------------------------------------------
+
+_C1 = 0.7978845608028654  # sqrt(2/pi), as in jax.nn.gelu approximate=True
+_C2 = 0.044715
+
+
+def _gelu_tanh(u):
+    """jax.nn.gelu(u, approximate=True), inlined so the kernel and the
+    jnp chain share one definition (computed in u.dtype, like jax.nn)."""
+    c1 = jnp.asarray(_C1, u.dtype)
+    c2 = jnp.asarray(_C2, u.dtype)
+    half = jnp.asarray(0.5, u.dtype)
+    one = jnp.asarray(1.0, u.dtype)
+    return half * u * (one + jnp.tanh(c1 * (u + c2 * u * u * u)))
+
+
+def _gelu_tanh_grad_f32(u):
+    """d gelu_tanh / du, evaluated in f32 (u may be a downcast bf16
+    value — the derivative is then exact at that representable point)."""
+    uf = u.astype(jnp.float32)
+    s = _C1 * (uf + _C2 * uf * uf * uf)
+    t = jnp.tanh(s)
+    return 0.5 * (1.0 + t) + 0.5 * uf * (1.0 - t * t) * _C1 * (
+        1.0 + 3.0 * _C2 * uf * uf
+    )
+
+
+# --- jnp reference chain (fallback + parity target) -----------------------------
+
+
+def bn_gelu_chain_jnp(x, scale, bias):
+    """The exact `_packed_norm_act` train-mode math (nn/ffc.py:739-781)
+    with tanh GELU: f32-accumulating stats, barrier-separated apply
+    upcast, downcast before the activation. Returns (out, bmean, bvar)."""
+    bmean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+    bvar = (
+        jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+        - bmean * bmean
+    )
+    inv = jax.lax.rsqrt(bvar + EPS)
+    x_ap = jax.lax.optimization_barrier(x)
+    u = (
+        (x_ap.astype(jnp.float32) - bmean) * (inv * scale) + bias
+    ).astype(x.dtype)
+    return _gelu_tanh(u), bmean, bvar
+
+
+# --- pallas kernels --------------------------------------------------------------
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl, pltpu
+
+
+def _stats_sums(x2, interpret: bool):
+    """One read pass: per-channel [sum(x), sum(x^2)] in f32 -> (8, C)
+    (rows 0/1 used; 8 keeps the accumulator block sublane-aligned)."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = _tile_rows(rows, c, x2.dtype.itemsize)
+
+    def kernel(x_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        xf = x_ref[:].astype(jnp.float32)
+        out_ref[0, :] += jnp.sum(xf, axis=0)
+        out_ref[1, :] += jnp.sum(xf * xf, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, c), jnp.float32),
+        interpret=interpret,
+    )(x2)
+
+
+def _apply_bn_gelu(x2, mean, isc, bias, interpret: bool):
+    """Apply pass: u = (x - mean) * (inv*scale) + bias, downcast, GELU."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = _tile_rows(rows, c, x2.dtype.itemsize)
+    out_dtype = x2.dtype
+
+    def kernel(x_ref, m_ref, s_ref, b_ref, out_ref):
+        xf = x_ref[:].astype(jnp.float32)
+        u = ((xf - m_ref[0, :]) * s_ref[0, :] + b_ref[0, :]).astype(
+            out_dtype
+        )
+        out_ref[:] = _gelu_tanh(u)
+
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vspec, vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec((tr, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), out_dtype),
+        interpret=interpret,
+    )(x2, vec(mean), vec(isc), vec(bias))
+
+
+def _bwd_reduce(x2, g2, mean, isc, bias, inv, interpret: bool):
+    """Backward reduce pass over (x, g): S1 = sum(du), S2 = sum(du*xhat)
+    per channel, du = g * gelu'(u) with u recomputed from x."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    cast_dtype = x2.dtype
+
+    def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, i_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        xf = x_ref[:].astype(jnp.float32)
+        u = ((xf - m_ref[0, :]) * s_ref[0, :] + b_ref[0, :]).astype(
+            cast_dtype
+        )
+        du = g_ref[:].astype(jnp.float32) * _gelu_tanh_grad_f32(u)
+        xhat = (xf - m_ref[0, :]) * i_ref[0, :]
+        out_ref[0, :] += jnp.sum(du, axis=0)
+        out_ref[1, :] += jnp.sum(du * xhat, axis=0)
+
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[big, big, vspec, vspec, vspec, vspec],
+        out_specs=pl.BlockSpec((8, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, c), jnp.float32),
+        interpret=interpret,
+    )(x2, g2, vec(mean), vec(isc), vec(bias), vec(inv))
+
+
+def _bwd_dx(x2, g2, mean, isc, bias, a, p, q, interpret: bool):
+    """dx pass: dx = A*du + P + Q*(x - mean), du recomputed as above."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    cast_dtype = x2.dtype
+
+    def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, a_ref, p_ref, q_ref,
+               out_ref):
+        xf = x_ref[:].astype(jnp.float32)
+        xm = xf - m_ref[0, :]
+        u = (xm * s_ref[0, :] + b_ref[0, :]).astype(cast_dtype)
+        du = g_ref[:].astype(jnp.float32) * _gelu_tanh_grad_f32(u)
+        out_ref[:] = (
+            a_ref[0, :] * du + p_ref[0, :] + q_ref[0, :] * xm
+        ).astype(cast_dtype)
+
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[big, big, vspec, vspec, vspec, vspec, vspec, vspec],
+        out_specs=big,
+        out_shape=jax.ShapeDtypeStruct((rows, c), cast_dtype),
+        interpret=interpret,
+    )(x2, g2, vec(mean), vec(isc), vec(bias), vec(a), vec(p), vec(q))
+
+
+# --- the custom-VJP op -----------------------------------------------------------
+
+
+def _forward_impl(x, scale, bias, interpret: bool):
+    b, h, w, c = x.shape
+    rows = b * h * w
+    x2 = x.reshape(rows, c)
+    sums = _stats_sums(x2, interpret)
+    n = jnp.float32(rows)
+    bmean = sums[0] / n
+    bvar = sums[1] / n - bmean * bmean
+    inv = jax.lax.rsqrt(bvar + EPS)
+    isc = inv * scale.astype(jnp.float32)
+    out2 = _apply_bn_gelu(x2, bmean, isc, bias.astype(jnp.float32),
+                          interpret)
+    return out2.reshape(b, h, w, c), bmean, bvar
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def packed_bn_gelu(x, scale, bias, interpret: bool = False):
+    """Fused train-mode packed-BN + tanh-GELU: returns
+    ``(out, batch_mean, batch_var)``; stats in f32, the normalized value
+    downcast to x.dtype before the activation (the `_packed_norm_act`
+    contract). Differentiable in (x, scale, bias) with the fully coupled
+    batch-norm backward, including the (bmean, bvar) output cotangents."""
+    return _forward_impl(x, scale, bias, interpret)
+
+
+def _fwd(x, scale, bias, interpret):
+    out, bmean, bvar = _forward_impl(x, scale, bias, interpret)
+    return (out, bmean, bvar), (x, scale, bias, bmean, bvar)
+
+
+def _bwd(interpret, residuals, cotangents):
+    x, scale, bias, bmean, bvar = residuals
+    g_out, g_mean, g_var = cotangents
+    b, h, w, c = x.shape
+    rows = b * h * w
+    n = jnp.float32(rows)
+    x2 = x.reshape(rows, c)
+    g2 = g_out.reshape(rows, c)
+
+    inv = jax.lax.rsqrt(bvar + EPS)
+    scale_f = scale.astype(jnp.float32)
+    bias_f = bias.astype(jnp.float32)
+    isc = inv * scale_f
+    sums = _bwd_reduce(x2, g2, bmean, isc, bias_f, inv, interpret)
+    s1, s2 = sums[0], sums[1]
+
+    # dx = A*du + P + Q*(x - mean) with the standard coupled-BN algebra
+    # (derivation in the module docstring commit); g_mean/g_var are the
+    # cotangents of the stats outputs (zero in normal training, where
+    # running-stat updates are non-differentiable buffer writes).
+    a = isc
+    g_mean = jnp.zeros_like(bmean) if g_mean is None else g_mean
+    g_var = jnp.zeros_like(bvar) if g_var is None else g_var
+    p = (-a * s1 + g_mean.astype(jnp.float32)) / n
+    q = (-a * inv * s2 + 2.0 * g_var.astype(jnp.float32)) / n
+    dx2 = _bwd_dx(x2, g2, bmean, isc, bias_f, a, p, q, interpret)
+
+    dscale = (s2).astype(scale.dtype)
+    dbias = (s1).astype(bias.dtype)
+    return dx2.reshape(b, h, w, c), dscale, dbias
+
+
+packed_bn_gelu.defvjp(_fwd, _bwd)
+
+
+# --- dispatcher used by nn/ffc.py -------------------------------------------------
+
+
+def use_fused_bn_gelu(x) -> bool:
+    """True when the fused kernels should run for this array: opt-in
+    flag + shape legality + the tanh-GELU policy actually applying
+    (the jnp chain and the kernel both use the tanh form; f32 runs
+    default to exact erf, so they stay on the jnp path unless the
+    fast-GELU override forces tanh globally)."""
+    if not _ENABLED:
+        return False
+    if not fused_shape_legal(x.shape, x.dtype):
+        return False
+    from ...nn.layers import gelu_is_fast
+
+    return gelu_is_fast(x.dtype)
+
+
+def fused_bn_gelu(x, scale, bias):
+    """Dispatch wrapper: Pallas (compiled on TPU, interpreted off-TPU)."""
+    return packed_bn_gelu(x, scale, bias, _interpret_default())
