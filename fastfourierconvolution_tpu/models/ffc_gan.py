@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.ffc import FFC_BN_ACT, Packed, packed_enabled, resize_output
+from ..ops.pallas.bn_act import fused_bn_enabled
 from ..nn.layers import (
     Conv2d,
     NoiseInjection,
@@ -122,6 +123,35 @@ class FFCGenerator(nn.Module):
                 else feat[0].shape[-1]
                 + (feat[1].shape[-1] if feat[1] is not None else 0)
             )
+            # Fused-noise fold (ops/pallas/bn_act.py): when the fused
+            # BN+GELU kernels are opted in, the block's NoiseInjection
+            # is folded into the same apply pass (XLA's jnp path already
+            # fuses it — the kernel must match that fusion boundary).
+            # The NoiseWeightHolder calls here use the SAME module names
+            # and "noise"-stream folds as the post-block path below, so
+            # param trees and noise draws are identical either way; the
+            # shape probe only supplies (B, H_out, W_out) and the
+            # compute dtype for the draw.
+            noise_fold = None
+            fold_noise = train and packed and fused_bn_enabled()
+            if fold_noise:
+                cg_out = int(out_ch * self.ratio_g)
+                cl_out = out_ch - cg_out
+                hw = self.mg * 2 ** (i + 1)
+                probe = jnp.zeros((b, hw, hw, 1), compute_dtype())
+                w_l, n_l = NoiseWeightHolder(
+                    cl_out, name=f"lcl_noise{i}"
+                )(probe)
+                if cg_out > 0:
+                    w_g, n_g = NoiseWeightHolder(
+                        cg_out, name=f"glb_noise{i}"
+                    )(probe)
+                    w = jnp.concatenate(
+                        [w_l.reshape(-1), w_g.reshape(-1)]
+                    )
+                else:
+                    w, n_g = w_l.reshape(-1), n_l
+                noise_fold = (w, n_l, n_g)
             feat = FFC_BN_ACT(
                 in_channels=in_ch,
                 out_channels=out_ch,
@@ -136,8 +166,8 @@ class FFCGenerator(nn.Module):
                 impl=self.impl,
                 packed=packed,
                 name=f"block{i}",
-            )(feat, train)
-            if train:
+            )(feat, train, noise_fold=noise_fold)
+            if train and not fold_noise:
                 if packed:
                     feat = packed_noise_inject(feat, i)
                 else:

@@ -656,12 +656,20 @@ class FFC_BN_ACT(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool, y: Optional[jax.Array] = None
+        self, x, train: bool, y: Optional[jax.Array] = None,
+        noise_fold=None,
     ) -> BranchPair:
+        """``noise_fold``: optional ``(w, n_l, n_g)`` — per-channel noise
+        weight (C,) f32 and the two (B,H,W,1) noise maps — to fold the
+        generator's post-block NoiseInjection into the packed norm-act
+        pass (fused Pallas path; see models/ffc_gan.py)."""
         if self.packed:
             assert self.num_classes <= 1, (
                 "packed mode does not support conditional BN"
             )
+        assert noise_fold is None or self.packed, (
+            "noise_fold requires packed mode"
+        )
         if self.upsampling:
             ffc = FFCTranspose(
                 self.in_channels,
@@ -704,7 +712,8 @@ class FFC_BN_ACT(nn.Module):
                 name="ffc",
             )
         if self.packed:
-            return self._packed_norm_act(ffc(x, train, y), train)
+            return self._packed_norm_act(ffc(x, train, y), train,
+                                         noise_fold)
         x_l, x_g = ffc(x, train, y)
         act = ACTIVATIONS[self.activation]
 
@@ -722,30 +731,51 @@ class FFC_BN_ACT(nn.Module):
 
         return norm_act(x_l, "l"), norm_act(x_g, "g")
 
-    def _packed_norm_act(self, p: Packed, train: bool) -> Packed:
+    def _packed_norm_act(
+        self, p: Packed, train: bool, noise_fold=None
+    ) -> Packed:
         """BN + activation over the packed array in ONE full-lane pass.
 
         Per-channel batch statistics over the concatenated branches are
         identical to per-branch statistics; the BatchNormHolder children
         keep the exact bn_l/bn_g parameter/stat tree of the tuple path
         (same normalisation math as :class:`BatchNorm`: f32, biased
-        variance, eps 1e-5, momentum 0.9)."""
+        variance, eps 1e-5, momentum 0.9).
+
+        ``noise_fold = (w, n_l, n_g)``: apply the generator's
+        NoiseInjection inside the same pass (fused into the Pallas apply
+        kernel when dispatched; the jnp fallback applies the identical
+        math after the activation, exactly like packed_noise_inject)."""
         act = ACTIVATIONS[self.activation]
         arr, cl = p.x, p.cl
+
+        def add_noise(out):
+            if noise_fold is None:
+                return out
+            w, n_l, n_g = noise_fold
+            sel = jnp.arange(out.shape[-1]) >= cl
+            noise = jnp.where(sel, n_g, n_l)
+            return out + w.astype(out.dtype) * noise
+
         if self.norm != "batch":
-            return Packed(act(arr), cl)
+            return Packed(add_noise(act(arr)), cl)
         cg = arr.shape[-1] - cl
         in_dtype = arr.dtype
         if train and self.activation == "gelu":
-            from ..ops.pallas.bn_act import fused_bn_gelu, use_fused_bn_gelu
+            from ..ops.pallas.bn_act import (
+                fused_bn_gelu,
+                fused_bn_gelu_noise,
+                use_fused_bn_gelu,
+            )
 
             if use_fused_bn_gelu(arr):
                 # Fused Pallas path (round-4 lever, ops/pallas/bn_act.py):
-                # stats + normalize + GELU in two minimal-traffic passes.
-                # The holders are called twice — first with train=False
-                # (pure param read, NO running-stat side effect), then
-                # with the op's batch stats to perform the exact same
-                # running-stat update as the jnp path below.
+                # stats + normalize + GELU (+ folded noise) in two
+                # minimal-traffic passes. The holders are called twice —
+                # first with train=False (pure param read, NO
+                # running-stat side effect), then with the op's batch
+                # stats to perform the exact same running-stat update as
+                # the jnp path below.
                 holders = []
                 if cl > 0:
                     holders.append((BatchNormHolder(cl, name="bn_l"), cl))
@@ -754,7 +784,14 @@ class FFC_BN_ACT(nn.Module):
                 reads = [h(None, None, False) for h, _ in holders]
                 scale = jnp.concatenate([r[2] for r in reads])
                 bias = jnp.concatenate([r[3] for r in reads])
-                out, bmean, bvar = fused_bn_gelu(arr, scale, bias)
+                if noise_fold is not None and 0 < cl:
+                    w, n_l, n_g = noise_fold
+                    out, bmean, bvar = fused_bn_gelu_noise(
+                        arr, scale, bias, w, n_l, n_g, cl
+                    )
+                else:
+                    out, bmean, bvar = fused_bn_gelu(arr, scale, bias)
+                    out = add_noise(out)
                 off = 0
                 for h, cnt in holders:
                     h(bmean[off:off + cnt], bvar[off:off + cnt], True)
@@ -802,7 +839,7 @@ class FFC_BN_ACT(nn.Module):
         out = (
             (arr_ap.astype(jnp.float32) - mean) * (inv * scale) + bias
         ).astype(in_dtype)
-        return Packed(act(out), cl)
+        return Packed(add_noise(act(out)), cl)
 
 
 def _add_opt(a: Branch, b: Branch) -> Branch:

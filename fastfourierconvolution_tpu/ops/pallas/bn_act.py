@@ -342,6 +342,232 @@ def _bwd(interpret, residuals, cotangents):
 packed_bn_gelu.defvjp(_fwd, _bwd)
 
 
+# --- noise-folded variant ----------------------------------------------------------
+#
+# In the jnp path XLA fuses the StyleGAN noise add (generator blocks:
+# FFC_BN_ACT -> NoiseInjection, reference noise_injection.py:20-31) into
+# the same loop fusion as the BN apply + GELU, so a Pallas family that
+# stops at GELU would ADD one full read+write pass. The noise fold keeps
+# the op at the same fusion boundary XLA already achieves:
+#   out = gelu(bn(x)) + w[c] * (n_g if c >= cl else n_l)
+# with per-channel weight w and per-position single-channel noise maps.
+
+
+def bn_gelu_noise_chain_jnp(x, scale, bias, w, n_l, n_g, cl):
+    """jnp reference: the chain + packed_noise_inject math
+    (models/ffc_gan.py:52-66)."""
+    out, m, v = bn_gelu_chain_jnp(x, scale, bias)
+    sel = jnp.arange(x.shape[-1]) >= cl
+    noise = jnp.where(sel, n_g, n_l)
+    return out + w.astype(x.dtype) * noise, m, v
+
+
+def _apply_bn_gelu_noise(x2, nl2, ng2, mean, isc, bias, w, cl,
+                         interpret: bool):
+    """Apply pass with the noise fold: gelu(norm(x)) + w * n_sel."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = _tile_rows(rows, c, x2.dtype.itemsize)
+    out_dtype = x2.dtype
+
+    def kernel(x_ref, nl_ref, ng_ref, m_ref, s_ref, b_ref, w_ref,
+               out_ref):
+        xf = x_ref[:].astype(jnp.float32)
+        u = ((xf - m_ref[0, :]) * s_ref[0, :] + b_ref[0, :]).astype(
+            out_dtype
+        )
+        y = _gelu_tanh(u)
+        ids = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        nsel = jnp.where(ids >= cl, ng_ref[:], nl_ref[:]).astype(out_dtype)
+        out_ref[:] = y + w_ref[0, :].astype(out_dtype) * nsel
+
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[big, nspec, nspec, vspec, vspec, vspec, vspec],
+        out_specs=big,
+        out_shape=jax.ShapeDtypeStruct((rows, c), out_dtype),
+        interpret=interpret,
+    )(x2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(w))
+
+
+def _bwd_reduce_noise(x2, g2, nl2, ng2, mean, isc, bias, inv, cl,
+                      interpret: bool):
+    """Backward reduce with the noise fold: rows 0/1/2 of the output are
+    S1 = sum(du), S2 = sum(du*xhat), S3 = dw = sum(g*n_sel)."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    cast_dtype = x2.dtype
+
+    def kernel(x_ref, g_ref, nl_ref, ng_ref, m_ref, s_ref, b_ref, i_ref,
+               out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        xf = x_ref[:].astype(jnp.float32)
+        gf = g_ref[:].astype(jnp.float32)
+        u = ((xf - m_ref[0, :]) * s_ref[0, :] + b_ref[0, :]).astype(
+            cast_dtype
+        )
+        du = gf * _gelu_tanh_grad_f32(u)
+        xhat = (xf - m_ref[0, :]) * i_ref[0, :]
+        ids = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
+        nsel = jnp.where(ids >= cl, ng_ref[:], nl_ref[:]).astype(
+            jnp.float32
+        )
+        out_ref[0, :] += jnp.sum(du, axis=0)
+        out_ref[1, :] += jnp.sum(du * xhat, axis=0)
+        out_ref[2, :] += jnp.sum(gf * nsel, axis=0)
+
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[big, big, nspec, nspec, vspec, vspec, vspec, vspec],
+        out_specs=pl.BlockSpec((8, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, c), jnp.float32),
+        interpret=interpret,
+    )(x2, g2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(inv))
+
+
+def _bwd_dx_noise(x2, g2, mean, isc, bias, a, p, q, w, cl,
+                  interpret: bool):
+    """dx pass + the noise-map cotangents:
+    dn_l[r] = sum_{c<cl} g*w, dn_g[r] = sum_{c>=cl} g*w."""
+    pl, pltpu = _pl()
+    rows, c = x2.shape
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    cast_dtype = x2.dtype
+
+    def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, a_ref, p_ref, q_ref,
+               w_ref, dx_ref, dnl_ref, dng_ref):
+        xf = x_ref[:].astype(jnp.float32)
+        gf = g_ref[:].astype(jnp.float32)
+        xm = xf - m_ref[0, :]
+        u = (xm * s_ref[0, :] + b_ref[0, :]).astype(cast_dtype)
+        du = gf * _gelu_tanh_grad_f32(u)
+        dx_ref[:] = (
+            a_ref[0, :] * du + p_ref[0, :] + q_ref[0, :] * xm
+        ).astype(cast_dtype)
+        gw = gf * w_ref[0, :]
+        ids = jax.lax.broadcasted_iota(jnp.int32, gw.shape, 1)
+        glb = ids >= cl
+        dnl_ref[:] = jnp.sum(
+            jnp.where(glb, 0.0, gw), axis=1, keepdims=True
+        ).astype(cast_dtype)
+        dng_ref[:] = jnp.sum(
+            jnp.where(glb, gw, 0.0), axis=1, keepdims=True
+        ).astype(cast_dtype)
+
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tr,),
+        in_specs=[big, big, vspec, vspec, vspec, vspec, vspec, vspec,
+                  vspec],
+        out_specs=(big, nspec, nspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, c), cast_dtype),
+            jax.ShapeDtypeStruct((rows, 1), cast_dtype),
+            jax.ShapeDtypeStruct((rows, 1), cast_dtype),
+        ),
+        interpret=interpret,
+    )(x2, g2, vec(mean), vec(isc), vec(bias), vec(a), vec(p), vec(q),
+      vec(w))
+
+
+def _forward_noise_impl(x, scale, bias, w, n_l, n_g, cl, interpret):
+    b, h, wd, c = x.shape
+    rows = b * h * wd
+    x2 = x.reshape(rows, c)
+    sums = _stats_sums(x2, interpret)
+    n = jnp.float32(rows)
+    bmean = sums[0] / n
+    bvar = sums[1] / n - bmean * bmean
+    inv = jax.lax.rsqrt(bvar + EPS)
+    isc = inv * scale.astype(jnp.float32)
+    out2 = _apply_bn_gelu_noise(
+        x2, n_l.reshape(rows, 1), n_g.reshape(rows, 1), bmean, isc,
+        bias.astype(jnp.float32), w.astype(jnp.float32), cl, interpret,
+    )
+    return out2.reshape(b, h, wd, c), bmean, bvar
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def packed_bn_gelu_noise(x, scale, bias, w, n_l, n_g, cl: int,
+                         interpret: bool = False):
+    """Fused train-mode packed-BN + tanh-GELU + StyleGAN noise add:
+    ``out = gelu(bn(x)) + w * select(channel >= cl, n_g, n_l)``.
+    Returns ``(out, batch_mean, batch_var)``; differentiable in
+    (x, scale, bias, w, n_l, n_g)."""
+    return _forward_noise_impl(x, scale, bias, w, n_l, n_g, cl, interpret)
+
+
+def _fwd_noise(x, scale, bias, w, n_l, n_g, cl, interpret):
+    out, bmean, bvar = _forward_noise_impl(
+        x, scale, bias, w, n_l, n_g, cl, interpret
+    )
+    return (out, bmean, bvar), (x, scale, bias, w, n_l, n_g, bmean, bvar)
+
+
+def _bwd_noise(cl, interpret, residuals, cotangents):
+    x, scale, bias, w, n_l, n_g, bmean, bvar = residuals
+    g_out, g_mean, g_var = cotangents
+    b, h, wd, c = x.shape
+    rows = b * h * wd
+    n = jnp.float32(rows)
+    x2 = x.reshape(rows, c)
+    g2 = g_out.reshape(rows, c)
+
+    inv = jax.lax.rsqrt(bvar + EPS)
+    isc = inv * scale.astype(jnp.float32)
+    bias_f = bias.astype(jnp.float32)
+    sums = _bwd_reduce_noise(
+        x2, g2, n_l.reshape(rows, 1), n_g.reshape(rows, 1),
+        bmean, isc, bias_f, inv, cl, interpret,
+    )
+    s1, s2, s3 = sums[0], sums[1], sums[2]
+
+    a = isc
+    g_mean = jnp.zeros_like(bmean) if g_mean is None else g_mean
+    g_var = jnp.zeros_like(bvar) if g_var is None else g_var
+    p = (-a * s1 + g_mean.astype(jnp.float32)) / n
+    q = (-a * inv * s2 + 2.0 * g_var.astype(jnp.float32)) / n
+    dx2, dnl2, dng2 = _bwd_dx_noise(
+        x2, g2, bmean, isc, bias_f, a, p, q, w.astype(jnp.float32), cl,
+        interpret,
+    )
+    return (
+        dx2.reshape(x.shape),
+        s2.astype(scale.dtype),
+        s1.astype(bias.dtype),
+        s3.astype(w.dtype),
+        dnl2.reshape(n_l.shape),
+        dng2.reshape(n_g.shape),
+    )
+
+
+packed_bn_gelu_noise.defvjp(_fwd_noise, _bwd_noise)
+
+
 # --- dispatcher used by nn/ffc.py -------------------------------------------------
 
 
@@ -363,3 +589,10 @@ def use_fused_bn_gelu(x) -> bool:
 def fused_bn_gelu(x, scale, bias):
     """Dispatch wrapper: Pallas (compiled on TPU, interpreted off-TPU)."""
     return packed_bn_gelu(x, scale, bias, _interpret_default())
+
+
+def fused_bn_gelu_noise(x, scale, bias, w, n_l, n_g, cl):
+    """Dispatch wrapper for the noise-folded variant."""
+    return packed_bn_gelu_noise(
+        x, scale, bias, w, n_l, n_g, cl, _interpret_default()
+    )

@@ -108,6 +108,126 @@ def test_shape_gate():
     assert not B.fused_shape_legal((64, 8, 8, 512), jnp.float16)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_noise_variant_forward_and_grad_parity(dtype):
+    """The noise-folded op vs the jnp chain + packed_noise_inject math:
+    forward values and gradients for every input incl. the per-channel
+    noise weight and both noise maps."""
+    shape, cl = (8, 8, 8, 128), 48
+    x, scale, bias = _data(shape, dtype, seed=4)
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(shape[-1]) * 0.3, jnp.float32)
+    n_l = jnp.asarray(rng.randn(*shape[:3], 1), dtype)
+    n_g = jnp.asarray(rng.randn(*shape[:3], 1), dtype)
+
+    out, m, v = B.packed_bn_gelu_noise(x, scale, bias, w, n_l, n_g, cl,
+                                       True)
+    want, wm, wv = B.bn_gelu_noise_chain_jnp(x, scale, bias, w, n_l,
+                                             n_g, cl)
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=atol,
+    )
+    np.testing.assert_allclose(np.asarray(m), np.asarray(wm), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(wv), atol=1e-4)
+
+    r_out = jnp.asarray(rng.randn(*shape), jnp.float32)
+
+    def loss(fn, *args):
+        out, m, v = fn(*args)
+        return (
+            jnp.sum(out.astype(jnp.float32) * r_out)
+            + jnp.sum(m) + jnp.sum(v)
+        )
+
+    grads_f = jax.grad(
+        lambda *a: loss(
+            lambda *b: B.packed_bn_gelu_noise(*b, cl, True), *a
+        ),
+        argnums=(0, 1, 2, 3, 4, 5),
+    )(x, scale, bias, w, n_l, n_g)
+    grads_j = jax.grad(
+        lambda *a: loss(
+            lambda *b: B.bn_gelu_noise_chain_jnp(*b, cl), *a
+        ),
+        argnums=(0, 1, 2, 3, 4, 5),
+    )(x, scale, bias, w, n_l, n_g)
+    for gf, gj in zip(grads_f, grads_j):
+        a = np.asarray(gf, np.float32)
+        b = np.asarray(gj, np.float32)
+        if dtype == jnp.float32:
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)
+        else:
+            # bf16: the jnp path reduces in bf16 while the kernel
+            # accumulates in f32 — the disagreement is the jnp side's
+            # quantization noise; bound it relative to the grad scale
+            assert np.abs(a - b).max() <= 0.05 * max(
+                1.0, np.abs(b).max()
+            ), (np.abs(a - b).max(), np.abs(b).max())
+
+
+def test_generator_fused_vs_default_end_to_end():
+    """FFCGenerator forward+backward with the fused family (incl. the
+    noise fold) must match the default packed path: same output, same
+    gradients w.r.t. params, identical param/variable trees — the flip
+    is numerics-parity-safe like the packed flip itself."""
+    from fastfourierconvolution_tpu.models import FFCGenerator
+    from fastfourierconvolution_tpu.nn import layers as L
+
+    gen = FFCGenerator(
+        z_size=32, ngf=32, ratio_g=0.25, mg=4, channel_mults=(4,),
+        packed=True,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 32))
+    init_rngs = {"params": jax.random.PRNGKey(1),
+                 "noise": jax.random.PRNGKey(2)}
+
+    old_fast = L._FAST_GELU
+    L.set_fast_gelu(True)
+    try:
+        B.set_fused_bn_enabled(True)
+        try:
+            v_fused = gen.init(init_rngs, z, True)
+        finally:
+            B.set_fused_bn_enabled(False)
+        v_plain = gen.init(init_rngs, z, True)
+        assert jax.tree_util.tree_structure(
+            v_fused
+        ) == jax.tree_util.tree_structure(v_plain)
+
+        def fwd(variables, fused):
+            B.set_fused_bn_enabled(fused)
+            try:
+                out, _ = gen.apply(
+                    variables, z, True,
+                    rngs={"noise": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"],
+                )
+            finally:
+                B.set_fused_bn_enabled(False)
+            return out
+
+        out_f = fwd(v_plain, True)
+        out_j = fwd(v_plain, False)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_j),
+                                   atol=2e-5)
+
+        def loss(variables, fused):
+            return jnp.sum(jnp.square(fwd(variables, fused)))
+
+        gf = jax.grad(lambda v: loss(v, True))(v_plain)["params"]
+        gj = jax.grad(lambda v: loss(v, False))(v_plain)["params"]
+        leaves_f, _ = jax.tree_util.tree_flatten(gf)
+        leaves_j, _ = jax.tree_util.tree_flatten(gj)
+        for a, b in zip(leaves_f, leaves_j):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3
+            )
+    finally:
+        L.set_fast_gelu(old_fast)
+
+
 def test_module_integration_fused_vs_jnp():
     """FFC_BN_ACT packed path with the fused kernels forced ON must
     reproduce the jnp path: same output, same running-stat updates,
