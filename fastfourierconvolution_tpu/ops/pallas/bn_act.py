@@ -179,7 +179,10 @@ def _apply_bn_gelu(x2, mean, isc, bias, interpret: bool):
     """Apply pass: u = (x - mean) * (inv*scale) + bias, downcast, GELU."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = _tile_rows(rows, c, x2.dtype.itemsize)
+    # halved tile: the f32 upcast temporary inside the kernel costs
+    # another 2x the bf16 block on the VMEM vector stack (measured
+    # scoped-vmem OOM at the full tile on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
     out_dtype = x2.dtype
 
     def kernel(x_ref, m_ref, s_ref, b_ref, out_ref):
@@ -211,7 +214,9 @@ def _bwd_reduce(x2, g2, mean, isc, bias, inv, interpret: bool):
     per channel, du = g * gelu'(u) with u recomputed from x."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    # quarter tile: x + g blocks plus their f32 temporaries (xf, gf, du,
+    # xhat) exceed scoped VMEM at half tile (measured on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 4, 8)
     cast_dtype = x2.dtype
 
     def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, i_ref, out_ref):
@@ -248,7 +253,9 @@ def _bwd_dx(x2, g2, mean, isc, bias, a, p, q, interpret: bool):
     """dx pass: dx = A*du + P + Q*(x - mean), du recomputed as above."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    # quarter tile: x + g blocks plus their f32 temporaries (xf, gf, du,
+    # xhat) exceed scoped VMEM at half tile (measured on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 4, 8)
     cast_dtype = x2.dtype
 
     def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, a_ref, p_ref, q_ref,
@@ -367,18 +374,27 @@ def _apply_bn_gelu_noise(x2, nl2, ng2, mean, isc, bias, w, cl,
     """Apply pass with the noise fold: gelu(norm(x)) + w * n_sel."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = _tile_rows(rows, c, x2.dtype.itemsize)
+    # halved tile: the (tr, 1) noise blocks pad to 128 lanes in VMEM,
+    # so at C=128 they cost as much as the data blocks (measured VMEM
+    # OOM at the full tile on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
     out_dtype = x2.dtype
 
     def kernel(x_ref, nl_ref, ng_ref, m_ref, s_ref, b_ref, w_ref,
-               out_ref):
+               sel_ref, out_ref):
         xf = x_ref[:].astype(jnp.float32)
         u = ((xf - m_ref[0, :]) * s_ref[0, :] + b_ref[0, :]).astype(
             out_dtype
         )
         y = _gelu_tanh(u)
-        ids = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        nsel = jnp.where(ids >= cl, ng_ref[:], nl_ref[:]).astype(out_dtype)
+        # arithmetic branch select: sel is {0,1} per lane (1.0 = global
+        # branch) — exact, and avoids the i1-mask relayout Mosaic
+        # rejects for (rows, 1)-block operands
+        sel = sel_ref[0, :].astype(out_dtype)
+        one = jnp.asarray(1.0, out_dtype)
+        nsel = nl_ref[:].astype(out_dtype) * (one - sel) + ng_ref[
+            :
+        ].astype(out_dtype) * sel
         out_ref[:] = y + w_ref[0, :].astype(out_dtype) * nsel
 
     vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
@@ -386,14 +402,16 @@ def _apply_bn_gelu_noise(x2, nl2, ng2, mean, isc, bias, w, cl,
     big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    sel_vec = (jnp.arange(c) >= cl).astype(jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(rows // tr,),
-        in_specs=[big, nspec, nspec, vspec, vspec, vspec, vspec],
+        in_specs=[big, nspec, nspec, vspec, vspec, vspec, vspec, vspec],
         out_specs=big,
         out_shape=jax.ShapeDtypeStruct((rows, c), out_dtype),
         interpret=interpret,
-    )(x2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(w))
+    )(x2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(w),
+      vec(sel_vec))
 
 
 def _bwd_reduce_noise(x2, g2, nl2, ng2, mean, isc, bias, inv, cl,
@@ -402,11 +420,13 @@ def _bwd_reduce_noise(x2, g2, nl2, ng2, mean, isc, bias, inv, cl,
     S1 = sum(du), S2 = sum(du*xhat), S3 = dw = sum(g*n_sel)."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    # quarter tile: x + g blocks plus their f32 temporaries (xf, gf, du,
+    # xhat) exceed scoped VMEM at half tile (measured on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 4, 8)
     cast_dtype = x2.dtype
 
     def kernel(x_ref, g_ref, nl_ref, ng_ref, m_ref, s_ref, b_ref, i_ref,
-               out_ref):
+               sel_ref, out_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -420,10 +440,10 @@ def _bwd_reduce_noise(x2, g2, nl2, ng2, mean, isc, bias, inv, cl,
         )
         du = gf * _gelu_tanh_grad_f32(u)
         xhat = (xf - m_ref[0, :]) * i_ref[0, :]
-        ids = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
-        nsel = jnp.where(ids >= cl, ng_ref[:], nl_ref[:]).astype(
-            jnp.float32
-        )
+        sel = sel_ref[0, :]
+        nsel = nl_ref[:].astype(jnp.float32) * (1.0 - sel) + ng_ref[
+            :
+        ].astype(jnp.float32) * sel
         out_ref[0, :] += jnp.sum(du, axis=0)
         out_ref[1, :] += jnp.sum(du * xhat, axis=0)
         out_ref[2, :] += jnp.sum(gf * nsel, axis=0)
@@ -433,15 +453,18 @@ def _bwd_reduce_noise(x2, g2, nl2, ng2, mean, isc, bias, inv, cl,
     nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    sel_vec = (jnp.arange(c) >= cl).astype(jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(rows // tr,),
-        in_specs=[big, big, nspec, nspec, vspec, vspec, vspec, vspec],
+        in_specs=[big, big, nspec, nspec, vspec, vspec, vspec, vspec,
+                  vspec],
         out_specs=pl.BlockSpec((8, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, c), jnp.float32),
         interpret=interpret,
-    )(x2, g2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(inv))
+    )(x2, g2, nl2, ng2, vec(mean), vec(isc), vec(bias), vec(inv),
+      vec(sel_vec))
 
 
 def _bwd_dx_noise(x2, g2, mean, isc, bias, a, p, q, w, cl,
@@ -450,11 +473,13 @@ def _bwd_dx_noise(x2, g2, mean, isc, bias, a, p, q, w, cl,
     dn_l[r] = sum_{c<cl} g*w, dn_g[r] = sum_{c>=cl} g*w."""
     pl, pltpu = _pl()
     rows, c = x2.shape
-    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 2, 8)
+    # quarter tile: x + g blocks plus their f32 temporaries (xf, gf, du,
+    # xhat) exceed scoped VMEM at half tile (measured on v5e)
+    tr = max(_tile_rows(rows, c, x2.dtype.itemsize) // 4, 8)
     cast_dtype = x2.dtype
 
     def kernel(x_ref, g_ref, m_ref, s_ref, b_ref, a_ref, p_ref, q_ref,
-               w_ref, dx_ref, dnl_ref, dng_ref):
+               w_ref, sel_ref, dx_ref, dnl_ref, dng_ref):
         xf = x_ref[:].astype(jnp.float32)
         gf = g_ref[:].astype(jnp.float32)
         xm = xf - m_ref[0, :]
@@ -464,25 +489,25 @@ def _bwd_dx_noise(x2, g2, mean, isc, bias, a, p, q, w, cl,
             a_ref[0, :] * du + p_ref[0, :] + q_ref[0, :] * xm
         ).astype(cast_dtype)
         gw = gf * w_ref[0, :]
-        ids = jax.lax.broadcasted_iota(jnp.int32, gw.shape, 1)
-        glb = ids >= cl
+        sel = sel_ref[0, :]
         dnl_ref[:] = jnp.sum(
-            jnp.where(glb, 0.0, gw), axis=1, keepdims=True
+            gw * (1.0 - sel), axis=1, keepdims=True
         ).astype(cast_dtype)
-        dng_ref[:] = jnp.sum(
-            jnp.where(glb, gw, 0.0), axis=1, keepdims=True
-        ).astype(cast_dtype)
+        dng_ref[:] = jnp.sum(gw * sel, axis=1, keepdims=True).astype(
+            cast_dtype
+        )
 
     vspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     big = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     nspec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     vec = lambda v: v.reshape(1, c).astype(jnp.float32)  # noqa: E731
+    sel_vec = (jnp.arange(c) >= cl).astype(jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(rows // tr,),
         in_specs=[big, big, vspec, vspec, vspec, vspec, vspec, vspec,
-                  vspec],
+                  vspec, vspec],
         out_specs=(big, nspec, nspec),
         out_shape=(
             jax.ShapeDtypeStruct((rows, c), cast_dtype),
@@ -491,7 +516,7 @@ def _bwd_dx_noise(x2, g2, mean, isc, bias, a, p, q, w, cl,
         ),
         interpret=interpret,
     )(x2, g2, vec(mean), vec(isc), vec(bias), vec(a), vec(p), vec(q),
-      vec(w))
+      vec(w), vec(sel_vec))
 
 
 def _forward_noise_impl(x, scale, bias, w, n_l, n_g, cl, interpret):
