@@ -633,7 +633,7 @@ def run_sample(cfg, num_samples: int = 64, per_sample: bool = False,
         from .utils.visualize import capture_feature_maps, save_feature_map_figure
 
         maps = capture_feature_maps(
-            g_model,
+            trainer.g_model,
             {"params": state.g.params,
              **({"batch_stats": state.g.batch_stats}
                 if state.g.batch_stats is not None else {}),
