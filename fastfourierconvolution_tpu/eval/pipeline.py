@@ -17,6 +17,7 @@ reference torch_fidelity/metrics.py:20-349 + utils.py:114-208,349-425:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import os
 import tempfile
 from typing import Callable, Dict, Optional, Sequence, Union
@@ -299,8 +300,6 @@ class FeatureExtractor:
             # pre-tower x.to(dtype) (feature_extractor_vgg16.py:69);
             # user-registered factories keep the documented 2-arg
             # signature
-            import inspect
-
             try:
                 takes_dtype = "internal_dtype" in inspect.signature(
                     factory

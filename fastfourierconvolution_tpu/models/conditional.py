@@ -32,7 +32,14 @@ from ..nn.layers import (
     SNDense,
     dense_init,
 )
-from .ffc_gan import _D_LADDERS, _PACKED_MIN_RES, packed_noise_inject
+from ..ops.pallas.bn_act import fused_bn_enabled
+from ..utils.policy import compute_dtype
+from .ffc_gan import (
+    _D_LADDERS,
+    _PACKED_MIN_RES,
+    draw_noise_fold,
+    packed_noise_inject,
+)
 
 
 def _embed(num: int, dim: int, name: str, module: nn.Module):
@@ -121,7 +128,17 @@ class FFCCondGenerator(nn.Module):
         ) and nclass <= 1
         feat = Packed(x, x.shape[-1]) if packed else (x, None)
         in_ratio = 0.0
+        stem_hw = 4 if self.stem == "convt" else self.mg
         for i, mult in enumerate(self.channel_mults):
+            # fused-noise fold: same dispatch as FFCGenerator (packed
+            # implies nclass <= 1 here, so no conditional-BN conflict)
+            noise_fold = None
+            fold_noise = train and packed and fused_bn_enabled()
+            if fold_noise:
+                noise_fold = draw_noise_fold(
+                    b, stem_hw * 2 ** (i + 1), self.ngf * mult,
+                    self.ratio_g, i, compute_dtype(),
+                )
             feat = FFC_BN_ACT(
                 in_channels=self.ngf * 8 if i == 0 else self.ngf * self.channel_mults[i - 1],
                 out_channels=self.ngf * mult,
@@ -138,8 +155,9 @@ class FFCCondGenerator(nn.Module):
                 impl=self.impl,
                 packed=packed,
                 name=f"block{i}",
-            )(feat, train, y if nclass > 1 else None)
-            if train:
+            )(feat, train, y if nclass > 1 else None,
+              noise_fold=noise_fold)
+            if train and not fold_noise:
                 if packed:
                     feat = packed_noise_inject(feat, i)
                 else:

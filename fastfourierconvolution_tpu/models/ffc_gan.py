@@ -50,6 +50,27 @@ def to_uint8(x: jax.Array) -> jax.Array:
     return (255.0 * (jnp.clip(x, -1.0, 1.0) * 0.5 + 0.5)).astype(jnp.uint8)
 
 
+def draw_noise_fold(b: int, hw: int, out_ch: int, ratio_g: float,
+                    i: int, dtype):
+    """Pre-conv draw of block ``i``'s noise-fold triple ``(w, n_l,
+    n_g)`` for FFC_BN_ACT's fused path (ops/pallas/bn_act.py). The
+    NoiseWeightHolder names and the local-first weight concat are the
+    SAME as packed_noise_inject below and the tuple path's
+    NoiseInjection modules — one definition keeps param trees and
+    noise-stream draws byte-identical across all three paths. The
+    probe array only supplies (B, H_out, W_out) and the draw dtype."""
+    cg = int(out_ch * ratio_g)
+    cl = out_ch - cg
+    probe = jnp.zeros((b, hw, hw, 1), dtype)
+    w_l, n_l = NoiseWeightHolder(cl, name=f"lcl_noise{i}")(probe)
+    if cg > 0:
+        w_g, n_g = NoiseWeightHolder(cg, name=f"glb_noise{i}")(probe)
+        w = jnp.concatenate([w_l.reshape(-1), w_g.reshape(-1)])
+    else:
+        w, n_g = w_l.reshape(-1), n_l
+    return (w, n_l, n_g)
+
+
 def packed_noise_inject(p: Packed, i: int) -> Packed:
     """Both branches' NoiseInjection in one full-lane pass; the
     NoiseWeightHolder children attach to the calling module (flax's
@@ -127,31 +148,13 @@ class FFCGenerator(nn.Module):
             # BN+GELU kernels are opted in, the block's NoiseInjection
             # is folded into the same apply pass (XLA's jnp path already
             # fuses it — the kernel must match that fusion boundary).
-            # The NoiseWeightHolder calls here use the SAME module names
-            # and "noise"-stream folds as the post-block path below, so
-            # param trees and noise draws are identical either way; the
-            # shape probe only supplies (B, H_out, W_out) and the
-            # compute dtype for the draw.
             noise_fold = None
             fold_noise = train and packed and fused_bn_enabled()
             if fold_noise:
-                cg_out = int(out_ch * self.ratio_g)
-                cl_out = out_ch - cg_out
-                hw = self.mg * 2 ** (i + 1)
-                probe = jnp.zeros((b, hw, hw, 1), compute_dtype())
-                w_l, n_l = NoiseWeightHolder(
-                    cl_out, name=f"lcl_noise{i}"
-                )(probe)
-                if cg_out > 0:
-                    w_g, n_g = NoiseWeightHolder(
-                        cg_out, name=f"glb_noise{i}"
-                    )(probe)
-                    w = jnp.concatenate(
-                        [w_l.reshape(-1), w_g.reshape(-1)]
-                    )
-                else:
-                    w, n_g = w_l.reshape(-1), n_l
-                noise_fold = (w, n_l, n_g)
+                noise_fold = draw_noise_fold(
+                    b, self.mg * 2 ** (i + 1), out_ch, self.ratio_g, i,
+                    compute_dtype(),
+                )
             feat = FFC_BN_ACT(
                 in_channels=in_ch,
                 out_channels=out_ch,

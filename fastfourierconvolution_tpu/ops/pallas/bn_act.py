@@ -334,9 +334,9 @@ def _bwd(interpret, residuals, cotangents):
     # (derivation in the module docstring commit); g_mean/g_var are the
     # cotangents of the stats outputs (zero in normal training, where
     # running-stat updates are non-differentiable buffer writes).
+    # g_mean/g_var arrive as zero arrays when unused (custom_vjp
+    # materializes output cotangents; symbolic zeros are not enabled)
     a = isc
-    g_mean = jnp.zeros_like(bmean) if g_mean is None else g_mean
-    g_var = jnp.zeros_like(bvar) if g_var is None else g_var
     p = (-a * s1 + g_mean.astype(jnp.float32)) / n
     q = (-a * inv * s2 + 2.0 * g_var.astype(jnp.float32)) / n
     dx2 = _bwd_dx(x2, g2, bmean, isc, bias_f, a, p, q, interpret)
@@ -571,9 +571,9 @@ def _bwd_noise(cl, interpret, residuals, cotangents):
     )
     s1, s2, s3 = sums[0], sums[1], sums[2]
 
+    # g_mean/g_var arrive as zero arrays when unused (custom_vjp
+    # materializes output cotangents; symbolic zeros are not enabled)
     a = isc
-    g_mean = jnp.zeros_like(bmean) if g_mean is None else g_mean
-    g_var = jnp.zeros_like(bvar) if g_var is None else g_var
     p = (-a * s1 + g_mean.astype(jnp.float32)) / n
     q = (-a * inv * s2 + 2.0 * g_var.astype(jnp.float32)) / n
     dx2, dnl2, dng2 = _bwd_dx_noise(

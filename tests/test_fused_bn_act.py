@@ -228,6 +228,48 @@ def test_generator_fused_vs_default_end_to_end():
         L.set_fast_gelu(old_fast)
 
 
+def test_cond_generator_fused_vs_default_end_to_end():
+    """FFCCondGenerator (packed, unconditional-BN) with the fused family
+    must match the default packed path — the conditional ladder gets the
+    same noise-fold dispatch as FFCGenerator (round-4 review item)."""
+    from fastfourierconvolution_tpu.models.conditional import (
+        FFCCondGenerator,
+    )
+    from fastfourierconvolution_tpu.nn import layers as L
+
+    gen = FFCCondGenerator(
+        z_size=32, ngf=32, ratio_g=0.25, num_classes=10, mg=4,
+        channel_mults=(4,), stem="dense", cond_bn=False, packed=True,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 32))
+    y = jnp.arange(8) % 10
+    init_rngs = {"params": jax.random.PRNGKey(1),
+                 "noise": jax.random.PRNGKey(2)}
+
+    old_fast = L._FAST_GELU
+    L.set_fast_gelu(True)
+    try:
+        variables = gen.init(init_rngs, z, True, y)
+
+        def fwd(fused):
+            B.set_fused_bn_enabled(fused)
+            try:
+                out, _ = gen.apply(
+                    variables, z, True, y,
+                    rngs={"noise": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"],
+                )
+            finally:
+                B.set_fused_bn_enabled(False)
+            return out
+
+        np.testing.assert_allclose(
+            np.asarray(fwd(True)), np.asarray(fwd(False)), atol=2e-5
+        )
+    finally:
+        L.set_fast_gelu(old_fast)
+
+
 def test_module_integration_fused_vs_jnp():
     """FFC_BN_ACT packed path with the fused kernels forced ON must
     reproduce the jnp path: same output, same running-stat updates,

@@ -65,7 +65,8 @@ def main() -> None:
             row["mode"] = mode
             table["convt"].append(row)
             print(json.dumps(row))
-            if row["result"].get("skipped"):
+            result = row["result"]
+            if isinstance(result, dict) and result.get("skipped"):
                 print("backend unavailable — aborting A/B", file=sys.stderr)
                 return
     for bf16 in (0, 1):

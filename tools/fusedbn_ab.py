@@ -65,7 +65,8 @@ def main() -> None:
             row["fused"] = fused
             table["fused_bn"].append(row)
             print(json.dumps(row))
-            if row["result"].get("skipped"):
+            result = row["result"]
+            if isinstance(result, dict) and result.get("skipped"):
                 print("backend unavailable — aborting A/B", file=sys.stderr)
                 return
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
