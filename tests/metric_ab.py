@@ -47,15 +47,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import torch_ref  # noqa: E402
 
 
-def make_image_sets(n: int = 256, size: int = 32):
-    """Two genuinely different sets: structured shapes vs uniform noise."""
+def make_image_sets(n: int = 256, size: int = 32, mix_b: bool = False):
+    """Two genuinely different sets: structured shapes vs uniform noise.
+
+    ``mix_b``: make set B half same-distribution shapes / half noise —
+    partial manifold overlap, so PRC's precision and recall are
+    informative (non-zero AND unequal; fully disjoint sets give the
+    degenerate 0/0 that cannot catch an orientation swap)."""
     from fastfourierconvolution_tpu.data.datasets import (
         ShapesDataset,
         SyntheticDataset,
     )
 
     a = ShapesDataset(n=n, size=size, seed=11).images
-    b = SyntheticDataset(n=n, size=size, seed=12).images
+    if mix_b:
+        b = np.concatenate([
+            ShapesDataset(n=n // 2, size=size, seed=12).images,
+            SyntheticDataset(n=n - n // 2, size=size, seed=12).images,
+        ])
+    else:
+        b = SyntheticDataset(n=n, size=size, seed=12).images
     return a, b
 
 
@@ -160,6 +171,9 @@ def reference_metric_fns() -> Dict:
         "KEY_METRIC_ISC_STD": "inception_score_std",
         "KEY_METRIC_KID_MEAN": "kernel_inception_distance_mean",
         "KEY_METRIC_KID_STD": "kernel_inception_distance_std",
+        "KEY_METRIC_PRECISION": "precision",
+        "KEY_METRIC_RECALL": "recall",
+        "KEY_METRIC_F_SCORE": "f_score",
     }
     root = torch_ref.REFERENCE_ROOT + "/torch_fidelity"
     _exec_region(
@@ -178,6 +192,12 @@ def reference_metric_fns() -> Dict:
         f"{root}/metric_kid.py",
         "def mmd2",
         "def kid_featuresdict_to_metric",
+        ns,
+    )
+    _exec_region(
+        f"{root}/metric_prc.py",
+        "def calc_cdist_part",
+        "def prc_featuresdict_to_metric",
         ns,
     )
     return ns
@@ -201,7 +221,15 @@ def reference_metrics(fd1, fd2, layer: str, kid_subsets: int,
         kid_subsets=kid_subsets, kid_subset_size=kid_subset_size,
         verbose=False,
     )["kernel_inception_distance_mean"]
-    return {"fid": fid, "isc": isc, "kid": kid}
+    # reference convention (metric_prc.py:70): features_1 = input1 =
+    # REAL — the same fd1/fd2 routing calculate_metrics performs
+    prc = fns["prc_features_to_metric"](
+        fd1[layer], fd2[layer], verbose=False
+    )
+    return {
+        "fid": fid, "isc": isc, "kid": kid,
+        "precision": prc["precision"], "recall": prc["recall"],
+    }
 
 
 def ours_metrics(images1, images2, weights_path: str, layer: str,
@@ -211,6 +239,8 @@ def ours_metrics(images1, images2, weights_path: str, layer: str,
         KEY_FID,
         KEY_ISC_MEAN,
         KEY_KID_MEAN,
+        KEY_PRC_PRECISION,
+        KEY_PRC_RECALL,
     )
     from fastfourierconvolution_tpu.eval.pipeline import calculate_metrics
 
@@ -220,10 +250,18 @@ def ours_metrics(images1, images2, weights_path: str, layer: str,
         isc=True,
         fid=True,
         kid=True,
+        prc=True,
+        # explicit extractor: keeps PRC on the shared calibrated
+        # inception weights (the default would route PRC to vgg16 via
+        # the dual-extractor split) AND exercises the pipeline's
+        # feats1/feats2 -> features_1/features_2 routing — exactly
+        # where the round-3 orientation bug lived (VERDICT r3 weak-1)
+        feature_extractor="inception-v3-compat",
         feature_extractor_weights_path=weights_path,
         feature_layer_isc=layer,
         feature_layer_fid=layer,
         feature_layer_kid=layer,
+        feature_layer_prc=layer,
         batch_size=batch_size,
         kid_subsets=kid_subsets,
         kid_subset_size=kid_subset_size,
@@ -233,14 +271,17 @@ def ours_metrics(images1, images2, weights_path: str, layer: str,
         "fid": out[KEY_FID],
         "isc": out[KEY_ISC_MEAN],
         "kid": out[KEY_KID_MEAN],
+        "precision": out[KEY_PRC_PRECISION],
+        "recall": out[KEY_PRC_RECALL],
     }
 
 
 def run_metric_ab(tmp_dir: str, n: int = 256, size: int = 32,
                   layers: Sequence[str] = ("192", "2048"),
-                  kid_subsets: int = 10, kid_subset_size: int = 100) -> Dict:
+                  kid_subsets: int = 10, kid_subset_size: int = 100,
+                  mix_b: bool = False) -> Dict:
     feats = sorted(set(layers) | {"logits_unbiased"})
-    imgs_a, imgs_b = make_image_sets(n, size)
+    imgs_a, imgs_b = make_image_sets(n, size, mix_b=mix_b)
     # calibrate on a disjoint mix of both distributions (different seeds
     # than the measured sets)
     from fastfourierconvolution_tpu.data.datasets import (
@@ -293,6 +334,15 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     with tempfile.TemporaryDirectory() as td:
         table = run_metric_ab(td)
+    # PRC needs partial manifold overlap to be informative — fully
+    # disjoint sets give the degenerate 0/0 on both sides (still an
+    # agreement, but unable to catch an orientation swap); the mixed-B
+    # section exercises the pipeline routing with asymmetric values
+    with tempfile.TemporaryDirectory() as td:
+        table["2048_mixed_b"] = run_metric_ab(
+            td, n=128, layers=("2048",), kid_subsets=5,
+            kid_subset_size=64, mix_b=True,
+        )["2048"]
     path = os.path.join(out_dir, "metrics_ab.json")
     with open(path, "w") as f:
         json.dump(table, f, indent=1)

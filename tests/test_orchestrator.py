@@ -209,6 +209,29 @@ def test_fidelity_cli_npz_and_dir_inputs(tmp_path, toy_extractors, capsys):
     assert np.isfinite(out[KEY_FID])
 
 
+def test_fidelity_cli_prc_flags(tmp_path, toy_extractors, capsys):
+    """--prc-batch-size / --save-cpu-ram plumb through the CLI into the
+    chunked PRC (round 4; reference defaults.py:36,57), and tiny tile
+    sizes change nothing."""
+    from fastfourierconvolution_tpu.cli import main
+
+    np.savez(tmp_path / "a.npz", images=_imgs(16, seed=1))
+    np.savez(tmp_path / "b.npz", images=_imgs(16, seed=2))
+    args = [
+        "fidelity", str(tmp_path / "a.npz"), str(tmp_path / "b.npz"),
+        "-r", "-j", "--no-cache", "--silent",
+        "--feature-extractor", "toy-a", "--feature-layer-prc", "la1",
+        "-b", "8",
+    ]
+    main(args)
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(args + ["--prc-batch-size", "7", "--save-cpu-ram"])
+    tiled = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert base == tiled
+    assert 0.0 <= base["precision"] <= 1.0
+    assert 0.0 <= base["recall"] <= 1.0
+
+
 def test_fidelity_cli_requires_a_metric(tmp_path):
     from fastfourierconvolution_tpu.cli import main
 

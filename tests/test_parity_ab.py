@@ -72,13 +72,23 @@ def test_deep_tap_metric_parity_calibrated():
     from metric_ab import run_metric_ab
 
     with tempfile.TemporaryDirectory() as td:
+        # mix_b: partial manifold overlap so PRC is informative
         table = run_metric_ab(td, n=96, layers=("2048",),
-                              kid_subsets=5, kid_subset_size=48)
+                              kid_subsets=5, kid_subset_size=48,
+                              mix_b=True)
     rd = table["2048"]["rel_diff"]
     assert rd["fid"] < 2e-2, table["2048"]
     assert rd["isc"] < 2e-2, table["2048"]
     assert rd["kid"] < 5e-2, table["2048"]
+    # PRC through the FULL pipeline (round 4): the orientation routing
+    # (input1 -> features_1 = REAL, metric_prc.py:70) is what the
+    # round-3 bug swapped — catch any regression at the pipeline level
+    assert rd["precision"] < 5e-2, table["2048"]
+    assert rd["recall"] < 5e-2, table["2048"]
     # non-degeneracy: the two distributions must be separated and ISC
     # must not be pinned at 1 (the round-2 collapse signature)
     assert table["2048"]["reference"]["fid"] > 10.0
     assert table["2048"]["reference"]["isc"] > 1.0005
+    # asymmetry guard: equal precision/recall would mask a swap
+    ref = table["2048"]["reference"]
+    assert abs(ref["precision"] - ref["recall"]) > 1e-3, ref
