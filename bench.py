@@ -38,6 +38,13 @@ trace of 3 timed iterations. Set FFC_TPU_BENCH_RES=128 (default 32) to
 measure the fgan128 config instead (ngf 128, ratio .5, 6 blocks — the
 BASELINE.md secondary row); the driver-recorded headline metric is
 always the 32px flagship.
+
+Set FFC_TPU_BENCH_MODE=serve to measure the SERVING path instead of
+training: eval-mode uint8 generation (z -> images, the exact function
+the ``.ffcx`` export serializes, serving.py) K-chained under one jit —
+the production-inference throughput number. Serve metrics get their own
+name (``ffcganN_serve_images_per_sec``) so they never compare against
+or overwrite the training baseline record.
 """
 
 from __future__ import annotations
@@ -85,6 +92,32 @@ def _backend_preflight(timeout_s: float):
         return True, r.stdout.strip().splitlines()[-1] if r.stdout else ""
     tail = (r.stderr or "").strip().splitlines()
     return False, (tail[-1] if tail else f"probe rc={r.returncode}")[-300:]
+
+
+def _emit(res, step_time, images_per_sec, flops_step, bytes_step,
+          metric_name: str) -> None:
+    """One JSON result line + the stderr roofline line (serve mode —
+    no training baseline applies to serving throughput)."""
+    import jax
+
+    print(json.dumps({
+        "metric": metric_name,
+        "value": round(images_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": 1.0,
+    }))
+    print(json.dumps({
+        "step_ms": round(step_time * 1e3, 3),
+        "flops_per_step": flops_step,
+        "bytes_per_step": bytes_step,
+        "mfu_pct_of_v5e_bf16_peak": round(
+            flops_step / step_time / TPU_V5E_BF16_PEAK * 100, 2
+        ),
+        "hbm_bw_pct": round(
+            bytes_step / step_time / TPU_V5E_HBM_BW * 100, 2
+        ),
+        "backend": jax.default_backend(),
+    }), file=sys.stderr)
 
 
 def main() -> None:
@@ -140,6 +173,45 @@ def main() -> None:
         jax.random.uniform(rng, (BATCH, res, res, 3), minval=-1.0, maxval=1.0)
     )
     state = trainer.init(rng, real)
+
+    mode = os.environ.get("FFC_TPU_BENCH_MODE", "train")
+    if mode == "serve":
+        # serving path: eval-mode uint8 generation, K z-batches chained
+        # under one jit (each batch's images reduced into the carry so
+        # no generator work can be dead-code-eliminated)
+        zs = jax.random.normal(rng, (K, BATCH, 128))
+
+        def serve_many(state, zs):
+            def body(carry, z):
+                imgs = trainer.generate(state, z, uint8=True)
+                return carry + imgs.astype(jnp.uint32).sum(), None
+
+            tot, _ = jax.lax.scan(body, jnp.uint32(0), zs)
+            return tot
+
+        compiled = jax.jit(serve_many).lower(state, zs).compile()
+        ca = (
+            jax.jit(lambda s, z: trainer.generate(s, z, uint8=True))
+            .lower(state, zs[0]).compile().cost_analysis()
+        )
+        ca = ca[0] if isinstance(ca, list) else (ca or {})
+        flops_step = float(ca.get("flops", 0.0))
+        bytes_step = float(ca.get("bytes accessed", 0.0))
+        int(compiled(state, zs))  # warmup + host sync
+
+        n_calls = 15
+        t0 = time.perf_counter()
+        tot = 0
+        for _ in range(n_calls):
+            tot = compiled(state, zs)
+        int(tot)  # full sync
+        dt = time.perf_counter() - t0
+        step_time = dt / (n_calls * K)
+        images_per_sec = BATCH / step_time
+        _emit(res, step_time, images_per_sec, flops_step, bytes_step,
+              metric_name=f"ffcgan{res}_serve_images_per_sec")
+        return
+
     reals = jnp.broadcast_to(real, (K,) + real.shape)
 
     compiled = (
