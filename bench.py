@@ -209,7 +209,8 @@ def main() -> None:
         step_time = dt / (n_calls * K)
         images_per_sec = BATCH / step_time
         _emit(res, step_time, images_per_sec, flops_step, bytes_step,
-              metric_name=f"ffcgan{res}_serve_images_per_sec")
+              metric_name=f"ffcgan{res}_serve_images_per_sec"
+              + ("" if BATCH == 64 else f"_b{BATCH}"))
         return
 
     reals = jnp.broadcast_to(real, (K,) + real.shape)
