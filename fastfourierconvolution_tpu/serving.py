@@ -92,6 +92,7 @@ def save_exported(path: str, blob: bytes) -> None:
 def load_exported(path: str):
     """Return ``(callable, meta)`` for an ``.ffcx`` artifact. The
     callable maps ``(z[, labels]) -> uint8 NHWC`` for any batch size."""
+    import jax
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -104,7 +105,13 @@ def load_exported(path: str):
     header_end = blob.index(b"\n", len(_MAGIC))
     meta = json.loads(blob[len(_MAGIC):header_end].decode("utf-8"))
     exported = jexport.deserialize(blob[header_end + 1:])
-    return exported.call, meta
+    # jit the rehydrated call so executable caching per concrete batch
+    # shape is guaranteed rather than relying on the eager-call cache.
+    # Measured round 4 on v5e (batch-64 generate, fair per-call-sync
+    # A/B): the artifact is at parity with the directly jitted
+    # generator — async-dispatch 1.52 ms vs 1.58 ms direct; with a
+    # host sync per call both sides cost the ~40 ms tunnel round trip.
+    return jax.jit(exported.call), meta
 
 
 def exported_generative_model(path: str):
