@@ -99,6 +99,30 @@ def test_driver_end_to_end_tiny(tmp_path):
     ckpts = os.listdir(os.path.join(logs, "checkpoints"))
     assert any("steps.ckpt" in c for c in ckpts)
 
+    # sample from the checkpoint through the real CLI, asserting the
+    # feature-map diagnostic figure SAVES (reference test.py:146-208).
+    # Regression guard for the round-4 g_model NameError: the figure
+    # path is wrapped in a diagnostics-never-block-sampling try/except,
+    # so only an existence check catches a silent failure there.
+    main(
+        [
+            "sample",
+            "--set", "data.dataset=synthetic",
+            "--set", "data.image_size=16",
+            "--set", "model.generator=ffc",
+            "--set", "model.discriminator=ffc",
+            "--set", "model.ngf=16",
+            "--set", "model.z_size=32",
+            "--set", "model.mg=2",
+            "--num_samples", "8",
+            "-o", logs,
+        ]
+    )
+    assert os.path.exists(os.path.join(logs, "samples_000006.png"))
+    assert os.path.exists(
+        os.path.join(logs, "feature_maps_000006.png")
+    ), "feature-map diagnostic silently failed (see run_sample except)"
+
 
 @pytest.mark.slow
 def test_driver_steps_per_call_chunked(tmp_path):
