@@ -240,6 +240,32 @@ def test_prc_asymmetric_golden_vs_reference():
         assert got_bs == got
 
 
+@pytest.mark.slow
+def test_prc_protocol_scale_memory_bounded():
+    """A 10k x 2048-d PRC call — the reference's protocol scale, where
+    full N x N f64 matrices are ~800 MB EACH — must stay well under
+    ~2 GB peak RSS growth (VERDICT r3 item 2 'Done=' criterion). The
+    streaming tiles bound the working set by batch_size^2."""
+    import resource
+
+    rng = np.random.RandomState(0)
+    real = rng.randn(10000, 2048).astype(np.float64)
+    fake = np.concatenate(
+        [real[:4000] + 0.05 * rng.randn(4000, 2048),
+         3.0 + rng.randn(6000, 2048) * 0.2]
+    )
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    out = prc_features_to_metric(real, fake, batch_size=2000)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    growth_gb = (rss1 - rss0) / 1024 / 1024
+    # inputs are ~330 MB; tiles are 2000^2 f64 = 32 MB; anything near
+    # the 800 MB full-matrix mark means streaming regressed
+    assert growth_gb < 1.0, f"peak RSS grew {growth_gb:.2f} GB"
+    assert 0.0 < out[KEY_PRC_PRECISION] <= 1.0
+    assert 0.0 < out["recall"] <= 1.0
+    assert abs(out[KEY_PRC_PRECISION] - out["recall"]) > 1e-3
+
+
 @pytest.mark.parametrize("align", [False, True])
 @pytest.mark.parametrize("in_hw,out_hw", [((32, 32), (299, 299)), ((16, 24), (8, 40))])
 def test_tf1_resize_matches_reference_algorithm(align, in_hw, out_hw):
