@@ -94,7 +94,24 @@ def _backend_preflight(timeout_s: float):
     return False, (tail[-1] if tail else f"probe rc={r.returncode}")[-300:]
 
 
-def _emit(res, step_time, images_per_sec, flops_step, bytes_step,
+def _batch_suffix() -> str:
+    """Non-protocol batch sizes get a metric-name suffix so a scaling
+    study can never compare against (or overwrite) the batch-64
+    records — one rule shared by the train and serve paths."""
+    return "" if BATCH == 64 else f"_b{BATCH}"
+
+
+def _metric_name(res) -> str:
+    mode = os.environ.get("FFC_TPU_BENCH_MODE", "train")
+    base = (
+        f"ffcgan{res}_serve_images_per_sec"
+        if mode == "serve"
+        else METRIC.format(res=res)
+    )
+    return base + _batch_suffix()
+
+
+def _emit(step_time, images_per_sec, flops_step, bytes_step,
           metric_name: str) -> None:
     """One JSON result line + the stderr roofline line (serve mode —
     no training baseline applies to serving throughput)."""
@@ -131,9 +148,12 @@ def main() -> None:
         )
         ok, detail = _backend_preflight(timeout_s)
         if not ok:
+            # skip marker carries the MODE-correct metric name: a
+            # failed serve run must never file as a zero-value
+            # training bench record
             print(json.dumps({
-                "metric": METRIC.format(
-                    res=os.environ.get("FFC_TPU_BENCH_RES", "32")
+                "metric": _metric_name(
+                    os.environ.get("FFC_TPU_BENCH_RES", "32")
                 ),
                 "value": 0,
                 "unit": "img/s",
@@ -199,6 +219,12 @@ def main() -> None:
         bytes_step = float(ca.get("bytes accessed", 0.0))
         int(compiled(state, zs))  # warmup + host sync
 
+        prof_dir = os.environ.get("FFC_TPU_BENCH_PROFILE")
+        if prof_dir:
+            with jax.profiler.trace(prof_dir):
+                tot = compiled(state, zs)
+                int(tot)
+
         n_calls = 15
         t0 = time.perf_counter()
         tot = 0
@@ -208,9 +234,8 @@ def main() -> None:
         dt = time.perf_counter() - t0
         step_time = dt / (n_calls * K)
         images_per_sec = BATCH / step_time
-        _emit(res, step_time, images_per_sec, flops_step, bytes_step,
-              metric_name=f"ffcgan{res}_serve_images_per_sec"
-              + ("" if BATCH == 64 else f"_b{BATCH}"))
+        _emit(step_time, images_per_sec, flops_step, bytes_step,
+              metric_name=_metric_name(res))
         return
 
     reals = jnp.broadcast_to(real, (K,) + real.shape)
@@ -295,10 +320,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report, don't kill bench
             pallas_smoke = f"FAILED: {type(e).__name__}: {e}"
 
-    # non-protocol batch sizes get their own metric name so a scaling
-    # study can never compare against (or overwrite) the batch-64
-    # baseline record
-    metric = METRIC.format(res=res) + ("" if BATCH == 64 else f"_b{BATCH}")
+    metric = _metric_name(res)
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
         try:

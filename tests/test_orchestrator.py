@@ -227,7 +227,12 @@ def test_fidelity_cli_prc_flags(tmp_path, toy_extractors, capsys):
     base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     main(args + ["--prc-batch-size", "7", "--save-cpu-ram"])
     tiled = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert base == tiled
+    # tile-size invariance up to BLAS gemm rounding (different tile
+    # shapes may pick differently-blocked kernels; values are exact in
+    # practice but bit-equality is not a guarantee worth flaking on)
+    assert set(base) == set(tiled)
+    for k in base:
+        assert base[k] == pytest.approx(tiled[k], abs=1e-9), k
     assert 0.0 <= base["precision"] <= 1.0
     assert 0.0 <= base["recall"] <= 1.0
 
