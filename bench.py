@@ -112,16 +112,18 @@ def _metric_name(res) -> str:
 
 
 def _emit(step_time, images_per_sec, flops_step, bytes_step,
-          metric_name: str) -> None:
-    """One JSON result line + the stderr roofline line (serve mode —
-    no training baseline applies to serving throughput)."""
+          metric_name: str, vs_baseline: float = 1.0,
+          extra_stderr: dict | None = None) -> None:
+    """The one result-emission path for BOTH modes: the JSON result
+    line on stdout + the roofline line on stderr (a field change here
+    changes every BENCH_r*.json record identically)."""
     import jax
 
     print(json.dumps({
         "metric": metric_name,
         "value": round(images_per_sec, 2),
         "unit": "img/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(vs_baseline, 4),
     }))
     print(json.dumps({
         "step_ms": round(step_time * 1e3, 3),
@@ -133,6 +135,7 @@ def _emit(step_time, images_per_sec, flops_step, bytes_step,
         "hbm_bw_pct": round(
             bytes_step / step_time / TPU_V5E_HBM_BW * 100, 2
         ),
+        **(extra_stderr or {}),
         "backend": jax.default_backend(),
     }), file=sys.stderr)
 
@@ -221,8 +224,11 @@ def main() -> None:
 
         prof_dir = os.environ.get("FFC_TPU_BENCH_PROFILE")
         if prof_dir:
+            # 3 timed iterations like the train path, so cross-mode
+            # trace comparisons see the same steady-state window
             with jax.profiler.trace(prof_dir):
-                tot = compiled(state, zs)
+                for _ in range(3):
+                    tot = compiled(state, zs)
                 int(tot)
 
         n_calls = 15
@@ -341,30 +347,9 @@ def main() -> None:
                 f,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(images_per_sec, 2),
-                "unit": "img/s",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "step_ms": round(step_time * 1e3, 3),
-                "flops_per_step": flops_step,
-                "bytes_per_step": bytes_step,
-                "mfu_pct_of_v5e_bf16_peak": round(mfu * 100, 2),
-                "hbm_bw_pct": round(hbm * 100, 2),
-                "pallas_smoke": pallas_smoke,
-                "backend": jax.default_backend(),
-            }
-        ),
-        file=sys.stderr,
-    )
+    _emit(step_time, images_per_sec, flops_step, bytes_step,
+          metric_name=metric, vs_baseline=vs,
+          extra_stderr={"pallas_smoke": pallas_smoke})
 
 
 if __name__ == "__main__":
