@@ -4,6 +4,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     params_shardings,
+    put_global_batch,
     replicated,
     state_shardings,
 )

@@ -1,0 +1,176 @@
+"""True multi-PROCESS (multi-host) training validation: two separate
+JAX processes form one global 8-device mesh via jax.distributed, feed
+process-sharded loader batches through ``put_global_batch`` (whose
+``jax.make_array_from_process_local_data`` branch can never execute in
+single-process CI), run jitted dp train steps, and must reproduce the
+single-process numerics exactly.
+
+This exercises the full multi-host contract claimed by the data layer
+(data/loader.py process sharding) and parallel/mesh.py — the piece a
+virtual single-process mesh cannot test."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_CHILD = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+import jax.numpy as jnp
+import numpy as np
+
+from fastfourierconvolution_tpu.data.datasets import SyntheticDataset
+from fastfourierconvolution_tpu.data.loader import DataLoader
+from fastfourierconvolution_tpu.models import FFCGenerator, SNConvDiscriminator
+from fastfourierconvolution_tpu.parallel import (
+    batch_sharding, make_mesh, put_global_batch, state_shardings,
+)
+from fastfourierconvolution_tpu.train import GANTrainer
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, jax.devices()
+
+g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2, channel_mults=(4, 2))
+d = SNConvDiscriminator(ladder=((16, 3, 1), (16, 4, 2), (32, 4, 2)), mg=2)
+trainer = GANTrainer(g, d, z_size=32, total_steps=100)
+
+mesh = make_mesh(devices=jax.devices())  # dp=8 global
+b_shard = batch_sharding(mesh)
+GLOBAL_BATCH = 16
+rng = jax.random.PRNGKey(0)
+real_shape = jax.ShapeDtypeStruct((GLOBAL_BATCH, 8, 8, 3), jnp.float32)
+template = jax.eval_shape(trainer.init, rng, real_shape)
+s_shard = state_shardings(mesh, template, trainer.g_tx, trainer.d_tx)
+
+ds = SyntheticDataset(n=64, size=8, seed=3)
+loader = DataLoader(
+    ds, batch_size=GLOBAL_BATCH, seed=5,
+    process_index=jax.process_index(), process_count=2,
+)
+it = iter(loader)
+
+first_local = next(it)[0]  # loader yields f32 [-1,1] NHWC already
+real0 = put_global_batch(b_shard, first_local)
+state = jax.jit(trainer.init, out_shardings=s_shard)(rng, real0)
+
+step = jax.jit(
+    trainer.update_step,
+    in_shardings=(s_shard, b_shard),
+    out_shardings=(s_shard, None),
+)
+losses = []
+state, m = step(state, real0)
+losses.append([float(m["loss_g"]), float(m["loss_d"])])
+for _ in range(2):
+    state, m = step(state, put_global_batch(b_shard, next(it)[0]))
+    losses.append([float(m["loss_g"]), float(m["loss_d"])])
+print("RESULT " + json.dumps({"pid": jax.process_index(), "losses": losses}))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), f"localhost:{port}", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        outs.append(json.loads(line[len("RESULT "):]))
+
+    # both processes of one SPMD program must report identical losses
+    assert outs[0]["losses"] == outs[1]["losses"], outs
+    losses_mp = np.asarray(outs[0]["losses"])
+    assert np.isfinite(losses_mp).all()
+
+    # single-process reference on the same 8-device (virtual) mesh,
+    # same loader seed/global batch — multi-host must be numerics-
+    # identical to single-host (the loader's disjoint-shard contract +
+    # make_array_from_process_local_data assembly)
+    import jax
+    import jax.numpy as jnp
+
+    from fastfourierconvolution_tpu.data.datasets import SyntheticDataset
+    from fastfourierconvolution_tpu.data.loader import DataLoader
+    from fastfourierconvolution_tpu.models import (
+        FFCGenerator,
+        SNConvDiscriminator,
+    )
+    from fastfourierconvolution_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        put_global_batch,
+        state_shardings,
+    )
+    from fastfourierconvolution_tpu.train import GANTrainer
+
+    g = FFCGenerator(z_size=32, ngf=16, ratio_g=0.25, mg=2,
+                     channel_mults=(4, 2))
+    d = SNConvDiscriminator(ladder=((16, 3, 1), (16, 4, 2), (32, 4, 2)),
+                            mg=2)
+    trainer = GANTrainer(g, d, z_size=32, total_steps=100)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    b_shard = batch_sharding(mesh)
+    rng = jax.random.PRNGKey(0)
+    loader = DataLoader(SyntheticDataset(n=64, size=8, seed=3),
+                        batch_size=16, seed=5)
+    it = iter(loader)
+
+    real0 = put_global_batch(b_shard, next(it)[0])
+    template = jax.eval_shape(
+        trainer.init, rng,
+        jax.ShapeDtypeStruct((16, 8, 8, 3), jnp.float32),
+    )
+    s_shard = state_shardings(mesh, template, trainer.g_tx, trainer.d_tx)
+    state = jax.jit(trainer.init, out_shardings=s_shard)(rng, real0)
+    step = jax.jit(
+        trainer.update_step,
+        in_shardings=(s_shard, b_shard),
+        out_shardings=(s_shard, None),
+    )
+    ref = []
+    state, m = step(state, real0)
+    ref.append([float(m["loss_g"]), float(m["loss_d"])])
+    for _ in range(2):
+        state, m = step(state, put_global_batch(b_shard, next(it)[0]))
+        ref.append([float(m["loss_g"]), float(m["loss_d"])])
+
+    np.testing.assert_allclose(losses_mp, np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
