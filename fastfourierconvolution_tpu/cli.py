@@ -25,6 +25,20 @@ import numpy as np
 
 def run_train(cfg) -> None:
     import jax
+
+    # multi-HOST launch: when the coordinator env is set, join the
+    # process group BEFORE any backend use (the driver's mesh/loader
+    # below are already global: make_mesh() spans jax.devices() and the
+    # loader shards by jax.process_index/count; validated end-to-end in
+    # tests/test_multihost.py). On real TPU pods
+    # jax.distributed.initialize() can also auto-detect without args.
+    if os.environ.get("FFC_TPU_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["FFC_TPU_COORDINATOR"],
+            num_processes=int(os.environ["FFC_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["FFC_TPU_PROCESS_ID"]),
+        )
+
     import jax.numpy as jnp
     import tqdm
 

@@ -91,6 +91,68 @@ def _free_port() -> int:
     return port
 
 
+def test_two_process_cli_driver(tmp_path):
+    """The WHOLE training driver under two processes: `cli train` with
+    the FFC_TPU_COORDINATOR bootstrap — global mesh over both
+    processes' devices, process-sharded uint8 feed, jitted sharded
+    steps, per-process logging. Both processes must report identical
+    finite losses (one SPMD program)."""
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get(
+            "PYTHONPATH", ""
+        )
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["FFC_TPU_COORDINATOR"] = f"localhost:{port}"
+        env["FFC_TPU_NUM_PROCESSES"] = "2"
+        env["FFC_TPU_PROCESS_ID"] = str(pid)
+        code = (
+            "import os\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from fastfourierconvolution_tpu.cli import main\n"
+            f"main(['train', '--set', 'data.dataset=synthetic',"
+            f" '--set', 'data.image_size=32',"
+            f" '--set', 'model.generator=ffc',"
+            f" '--set', 'model.discriminator=sn_conv',"
+            f" '--set', 'model.ngf=16', '--set', 'model.z_size=32',"
+            f" '--set', 'model.mg=4', '--set', 'train.batch_size=16',"
+            f" '--set', 'train.num_total_steps=6',"
+            f" '--set', 'train.num_epoch_steps=1000',"
+            f" '--set', 'eval.isc=false', '--set', 'eval.fid=false',"
+            f" '--set', 'log.checkpoint=false',"
+            f" '--set', 'log.log_every=2', '--set', 'log.tensorboard=false',"
+            f" '-o', r'{tmp_path}/logs{pid}'])\n"
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+
+    rows = []
+    for pid in (0, 1):
+        with open(tmp_path / f"logs{pid}" / "scalars.jsonl") as f:
+            rows.append([
+                json.loads(l) for l in f if "loss_g" in l
+            ])
+    assert rows[0], "no loss rows logged"
+    assert len(rows[0]) == len(rows[1])
+    for a, b in zip(rows[0], rows[1]):
+        assert np.isfinite(a["loss_g"]) and np.isfinite(a["loss_d"])
+        assert a["loss_g"] == b["loss_g"], (a, b)
+        assert a["loss_d"] == b["loss_d"], (a, b)
+
+
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     script = tmp_path / "child.py"
