@@ -38,6 +38,29 @@ def run_train(cfg) -> None:
             num_processes=int(os.environ["FFC_TPU_NUM_PROCESSES"]),
             process_id=int(os.environ["FFC_TPU_PROCESS_ID"]),
         )
+    if jax.process_count() > 1:
+        # establish the cross-process collective context (cpu: gloo)
+        # NOW, while the processes are within moments of each other —
+        # gloo's first-connect window is ~30 s, far less than the skew
+        # serialized model tracing/compilation can introduce later;
+        # collectives on established pairs tolerate that skew
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ffc_tpu_train_startup")
+    if jax.process_count() > 1 and (
+        cfg.eval.isc or cfg.eval.fid or cfg.eval.kid or cfg.eval.prc
+        or cfg.eval.ppl
+    ):
+        # metric eval gathers generated/real samples to ONE host
+        # (np.asarray of dp-global arrays needs every shard addressable)
+        # — single-host only for now; training itself is fully SPMD
+        print(
+            "WARNING: metric eval is single-host only; disabling "
+            "eval under multi-process training (run `cli fidelity` "
+            "on a checkpoint afterwards instead)"
+        )
+        cfg.eval.isc = cfg.eval.fid = cfg.eval.kid = False
+        cfg.eval.prc = cfg.eval.ppl = False
 
     import jax.numpy as jnp
     import tqdm
