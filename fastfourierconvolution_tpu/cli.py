@@ -427,6 +427,11 @@ def run_train(cfg) -> None:
                     fid=cfg.eval.fid and input2 is not None,
                     kid=cfg.eval.kid and input2 is not None,
                     prc=cfg.eval.prc and input2 is not None,
+                    # input1 is the generator (ISC/PPL pin it there) but
+                    # PRC's features_1 must be REAL (metric_prc.py:70):
+                    # have the pipeline swap the feature sets so
+                    # precision/recall keep their meaning (ADVICE r4)
+                    prc_input1_generated=True,
                     ppl=cfg.eval.ppl,
                     input1_model_num_samples=cfg.eval.num_samples_for_metrics,
                     batch_size=min(t.batch_size, 128),

@@ -254,6 +254,16 @@ def prc_features_to_metric(
     fake = np.asarray(features_2, dtype=np.float64)
     assert real.ndim == 2 and fake.ndim == 2
     assert real.shape[1] == fake.shape[1]
+    # the reference's kthvalue(k+1) hard-fails on feature sets with
+    # n <= k rows (metric_prc.py:28,38); a silent degradation to the
+    # max distance would report misleading PRC values (ADVICE r4)
+    for label, feats in (("features_1", real), ("features_2", fake)):
+        if feats.shape[0] <= neighborhood:
+            raise ValueError(
+                f"PRC needs more than prc_neighborhood={neighborhood} "
+                f"samples per input; {label} has only {feats.shape[0]} "
+                f"(the reference's kthvalue(k+1) fails likewise)"
+            )
     batch_size = max(1, int(batch_size))
 
     radii_real = _knn_radii(real, neighborhood, batch_size)

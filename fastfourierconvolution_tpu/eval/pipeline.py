@@ -301,11 +301,27 @@ class FeatureExtractor:
             # user-registered factories keep the documented 2-arg
             # signature
             try:
-                takes_dtype = "internal_dtype" in inspect.signature(
-                    factory
-                ).parameters
+                sig_params = inspect.signature(factory).parameters
+                takes_dtype = "internal_dtype" in sig_params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig_params.values()
+                )
             except (TypeError, ValueError):
                 takes_dtype = False
+            if not takes_dtype and internal_dtype not in (None, "float32"):
+                # the input cast stays f32 while the weight promotion
+                # below still runs — surface the half-applied dtype
+                # instead of silently dropping it (ADVICE r4)
+                import warnings
+
+                warnings.warn(
+                    f"feature extractor '{name}' factory does not accept "
+                    f"internal_dtype; input casts stay float32 while "
+                    f"weights are promoted to {internal_dtype} "
+                    f"(add an internal_dtype kwarg or **kwargs to the "
+                    f"registered factory to silence this)",
+                    stacklevel=3,
+                )
             kw = {"internal_dtype": internal_dtype} if takes_dtype else {}
             self.module, self.variables = factory(
                 self.features_list, weights_path, **kw
@@ -511,6 +527,7 @@ def calculate_metrics(
     kid_kernel_rbf_sigma: float = 10.0,
     prc_neighborhood: int = 3,
     prc_batch_size: int = 10000,
+    prc_input1_generated: Optional[bool] = None,
     save_cpu_ram: bool = False,
     ppl_epsilon: float = 1e-4,
     ppl_sample_similarity: str = "lpips-vgg16",
@@ -538,6 +555,14 @@ def calculate_metrics(
       * ``ppl=True`` routed to :func:`eval.ppl.calculate_ppl`
         (reference metrics.py:105-107),
       * KID kernel selection (poly / rbf) with the reference defaults.
+
+    PRC orientation: the metric's convention is ``features_1 = REAL``
+    (reference metric_prc.py:70), but generative inputs (ISC/PPL) are
+    pinned to ``input1``. ``prc_input1_generated`` controls whether the
+    feature sets are swapped at the PRC call so precision/recall keep
+    their meaning; the default ``None`` auto-detects: swap exactly when
+    ``input1`` is a generative model/sampler and ``input2`` is data
+    (the in-training eval configuration — ADVICE r4 medium).
     """
     assert isc or fid or kid or prc or ppl, (
         "at least one metric must be requested"
@@ -575,6 +600,7 @@ def calculate_metrics(
             kid_kernel_rbf_sigma=kid_kernel_rbf_sigma,
             prc_neighborhood=prc_neighborhood,
             prc_batch_size=prc_batch_size,
+            prc_input1_generated=prc_input1_generated,
             save_cpu_ram=save_cpu_ram,
             ppl_epsilon=ppl_epsilon,
             ppl_sample_similarity=ppl_sample_similarity,
@@ -752,12 +778,24 @@ def calculate_metrics(
                 )
             )
         if prc:
-            # reference convention (metric_prc.py:70,104-112): input1 is
-            # REAL, input2 is GENERATED — features_1 <- input1
+            # reference convention (metric_prc.py:70,104-112): features_1
+            # is REAL, features_2 is GENERATED. When the generative model
+            # sits in input1 (ISC/PPL pin it there — the in-training eval
+            # layout), swap the feature sets so precision/recall keep
+            # their standard meaning (ADVICE r4 medium).
+            swap = prc_input1_generated
+            if swap is None:
+                swap = (
+                    isinstance(input1, GenerativeModel) or callable(input1)
+                ) and not (
+                    isinstance(input2, GenerativeModel) or callable(input2)
+                )
+            f_real = feats2 if swap else feats1
+            f_gen = feats1 if swap else feats2
             out.update(
                 M.prc_features_to_metric(
-                    feats1[layer_of["prc"]],
-                    feats2[layer_of["prc"]],
+                    f_real[layer_of["prc"]],
+                    f_gen[layer_of["prc"]],
                     neighborhood=prc_neighborhood,
                     batch_size=prc_batch_size,
                     save_cpu_ram=save_cpu_ram,

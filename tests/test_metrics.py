@@ -398,3 +398,20 @@ def test_dataset_registry(tmp_path):
         input1_cache_name="gen-test",
     )
     np.testing.assert_allclose(out[KEY_FID], out2[KEY_FID], rtol=1e-6)
+
+
+def test_prc_small_n_raises():
+    """Feature sets with n <= prc_neighborhood rows must hard-fail like
+    the reference's kthvalue(k+1) (metric_prc.py:28,38) instead of
+    silently degrading to the max distance (ADVICE r4 low)."""
+    rng = np.random.RandomState(0)
+    big = rng.randn(10, 4)
+    tiny = rng.randn(3, 4)
+    with pytest.raises(ValueError, match="prc_neighborhood"):
+        prc_features_to_metric(tiny, big, neighborhood=3)
+    with pytest.raises(ValueError, match="prc_neighborhood"):
+        prc_features_to_metric(big, tiny, neighborhood=3)
+    # n = neighborhood + 1 is the smallest legal size
+    out = prc_features_to_metric(rng.randn(4, 4), rng.randn(4, 4),
+                                 neighborhood=3)
+    assert np.isfinite(out[KEY_PRC_PRECISION])

@@ -451,3 +451,98 @@ def test_internal_dtype_float64_matches_f32_features():
             feature_extractor_internal_dtype="float64",
         )
     assert abs(out[KEY_FID]) < 1e-6
+
+
+def test_prc_orientation_generative_input1(toy_extractors):
+    """PRC orientation with a generative input1 (the in-training eval
+    layout): the metric convention is features_1=REAL (reference
+    metric_prc.py:70) but ISC/PPL pin the generative model to input1,
+    so calculate_metrics must swap the feature sets at the PRC call —
+    by the explicit ``prc_input1_generated=True`` flag the trainer
+    passes, and by the ``None`` auto-detect (ADVICE r4 medium)."""
+    rng = np.random.RandomState(11)
+    # asymmetric pair: fake = near-copy of part of real + a far mode,
+    # so precision and recall land far apart (a symmetric pair cannot
+    # catch a swapped orientation)
+    real = rng.randint(0, 100, size=(48, 8, 8, 3), dtype=np.uint8)
+    fake = np.concatenate([
+        np.clip(real[:16].astype(np.int16) + rng.randint(-3, 4, (16, 8, 8, 3)),
+                0, 255).astype(np.uint8),
+        rng.randint(180, 256, size=(32, 8, 8, 3), dtype=np.uint8),
+    ])
+    kw = dict(prc=True, feature_extractor="toy-b", batch_size=16,
+              cache=False, prc_neighborhood=3)
+
+    # canonical orientation: input1 = REAL array (the fidelity-CLI and
+    # reference layout) — no swap
+    ref = P.calculate_metrics(real, fake, **kw)
+    assert abs(ref["precision"] - ref["recall"]) > 1e-3  # asymmetric
+
+    # trainer layout: generative model in input1, real data in input2
+    served = {"i": 0}
+
+    def apply(z):
+        i = served["i"]
+        served["i"] += len(z)
+        return fake[i:i + len(z)]
+
+    def gm():
+        served["i"] = 0
+        return P.GenerativeModel(apply=apply, z_size=4)
+
+    got_auto = P.calculate_metrics(gm(), real,
+                                   input1_model_num_samples=48, **kw)
+    got_flag = P.calculate_metrics(gm(), real,
+                                   input1_model_num_samples=48,
+                                   prc_input1_generated=True, **kw)
+    for got in (got_auto, got_flag):
+        assert got["precision"] == pytest.approx(ref["precision"], abs=1e-6)
+        assert got["recall"] == pytest.approx(ref["recall"], abs=1e-6)
+
+    # forcing no-swap must yield exactly the transposed metric
+    # (precision and recall exchange roles when the inputs exchange)
+    got_noswap = P.calculate_metrics(gm(), real,
+                                     input1_model_num_samples=48,
+                                     prc_input1_generated=False, **kw)
+    assert got_noswap["precision"] == pytest.approx(ref["recall"], abs=1e-6)
+    assert got_noswap["recall"] == pytest.approx(ref["precision"], abs=1e-6)
+
+
+def test_internal_dtype_factory_sniffing(toy_extractors):
+    """internal_dtype routing to registry factories (ADVICE r4 low):
+    a ``**kwargs`` factory must be detected as accepting the dtype, and
+    a plain 2-arg factory given a non-f32 dtype must warn about the
+    half-applied cast instead of silently dropping it."""
+    import warnings
+
+    import jax
+
+    seen = {}
+
+    def kwargs_factory(features_list, weights_path=None, **kwargs):
+        seen.update(kwargs)
+        return _ToyModule(features_list, 4), {}
+
+    R.FEATURE_EXTRACTORS["toy-kw"] = {
+        "factory": kwargs_factory, "provided": ("lk",),
+    }
+    try:
+        with jax.enable_x64():
+            P.FeatureExtractor(["lk"], name="toy-kw",
+                               internal_dtype="float64")
+        assert seen.get("internal_dtype") == "float64"
+
+        # 2-arg factory + float64 -> UserWarning, still constructs
+        with pytest.warns(UserWarning, match="internal_dtype"):
+            with jax.enable_x64():
+                P.FeatureExtractor(["la1"], name="toy-a",
+                                   internal_dtype="float64")
+        # float32/None stay silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            P.FeatureExtractor(["la1"], name="toy-a",
+                               internal_dtype="float32")
+            P.FeatureExtractor(["la1"], name="toy-a")
+    finally:
+        R.FEATURE_EXTRACTORS.pop("toy-kw", None)
+        P._EXTRACTOR_CACHE.clear()
