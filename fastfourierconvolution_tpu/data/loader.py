@@ -74,6 +74,7 @@ class DataLoader:
             decode_threads = 0 if in_memory else 8
         self.decode_threads = decode_threads
         self._pool = None  # created lazily (keeps pickling/fork simple)
+        self._start_batch = 0
 
     def _items(self, idx: np.ndarray):
         """Gather dataset items, decoding through the thread pool when
@@ -124,13 +125,44 @@ class DataLoader:
         imgs, labels = zip(*self._items(idx))
         return normalize_to_unit(np.stack(imgs)), np.asarray(labels, np.int64)
 
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the epoch-permutation stream by ``n`` global
+        batches WITHOUT gathering any data — the resume path: a
+        restored run replays the seeded shuffles (cheap rng work only)
+        so the post-resume data order matches an uninterrupted run
+        exactly. Call before iteration starts. The reference restarts
+        its DataLoader from scratch on resume (fgan_complete.py:359-363
+        re-iter), losing data-order continuity; this is strictly
+        stronger and what makes resume trajectory-exact
+        (tests/test_multihost.py)."""
+        assert n >= 0
+        self._start_batch = int(n)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self._epoch_order()
         n_full = len(order) // self.batch_size
+        has_partial = (
+            not self.drop_last
+            and self.process_count == 1
+            and n_full * self.batch_size < len(order)
+        )
+        # resume fast-forward: whole skipped epochs advance the seeded
+        # rng by one shuffle each; the remainder offsets into this
+        # epoch's order
+        skip = 0
+        if self._start_batch:
+            per_epoch = n_full + (1 if has_partial else 0)
+            skip = self._start_batch
+            self._start_batch = 0
+            while skip >= per_epoch:
+                skip -= per_epoch
+                order = self._epoch_order()
+            n_full_new = len(order) // self.batch_size
+            assert n_full_new == n_full  # dataset size is fixed
         ends = n_full * self.batch_size
         lo = self.process_index * self.local_batch
         hi = lo + self.local_batch
-        for i in range(0, ends, self.batch_size):
+        for i in range(skip * self.batch_size, ends, self.batch_size):
             yield self._gather(order[i + lo : i + hi])
         if not self.drop_last and ends < len(order):
             if self.process_count > 1:

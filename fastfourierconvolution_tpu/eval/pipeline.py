@@ -352,17 +352,32 @@ class FeatureExtractor:
             )
             rep = replicated(mesh)
             self.variables = jax.device_put(self.variables, rep)
+            b_shard = batch_sharding(mesh)
+            # features come back FULLY REPLICATED (an on-device
+            # all_gather over ICI): under multi-process meshes a
+            # dp-sharded output would not be host-addressable, and
+            # replicating it is what lets every process run the metric
+            # math identically afterwards (SURVEY §2.8 / VERDICT r4
+            # missing-2 — multi-process in-loop eval)
             self._apply = jax.jit(
                 lambda v, x: self._apply_f32(v, x),
                 in_shardings=(
                     jax.tree.map(lambda _: rep, self.variables),
-                    batch_sharding(mesh),
+                    b_shard,
                 ),
+                out_shardings=rep,
             )
+            # every process passes the FULL batch (its content is
+            # replicated by construction: seeded samplers / full local
+            # datasets); each contributes the dp slice its devices own
+            from ..parallel.mesh import shard_full_batch
+
+            self._put = lambda x: shard_full_batch(b_shard, np.asarray(x))
         else:
             self._apply = jax.jit(
                 lambda v, x: self._apply_f32(v, x)
             )
+            self._put = jnp.asarray
 
     def _apply_f32(self, v, x):
         # every returned feature is float32 regardless of internal_dtype
@@ -390,19 +405,39 @@ class FeatureExtractor:
                 padded = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], np.uint8)]
                 )
-                feats = self._apply(self.variables, jnp.asarray(padded))
+                feats = self._apply(self.variables, self._put(padded))
                 feats = {k: np.asarray(v)[: len(batch)] for k, v in feats.items()}
             else:
                 feats = {
                     k: np.asarray(v)
                     for k, v in self._apply(
-                        self.variables, jnp.asarray(batch)
+                        self.variables, self._put(batch)
                     ).items()
                 }
             for k in self.features_list:
                 chunks[k].append(feats[k])
             i += len(batch)
         return {k: np.concatenate(v, axis=0) for k, v in chunks.items()}
+
+
+def _mp_and(flag: bool) -> bool:
+    """Collective AND of a per-process predicate.
+
+    Multi-process metric eval keeps every process's control flow in
+    lockstep (the extractor's jit is a GLOBAL computation): a cache hit
+    on one host but not another would deadlock — the miss side enters
+    the sharded extraction collective while the hit side skips it. The
+    hit therefore counts only when EVERY process has the file; each
+    host keeps its own cache directory (real pods have per-host disks).
+    Single-process: a no-op passthrough.
+    """
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    return bool(
+        multihost_utils.process_allgather(np.asarray([bool(flag)])).all()
+    )
 
 
 def _cache_path(cache_dir, input_name, extractor_name, layer):
@@ -683,7 +718,7 @@ def calculate_metrics(
                     l: _cache_path(cache_dir, cache_name, fe_name, l)
                     for l in wanted_layers
                 }
-                if all(os.path.exists(p) for p in paths.values()):
+                if _mp_and(all(os.path.exists(p) for p in paths.values())):
                     return {
                         l: np.load(p)["features"] for l, p in paths.items()
                     }
@@ -709,7 +744,7 @@ def calculate_metrics(
                 cache_dir,
                 f"{cache_name}-{fe_name}-stat-fid-{layer}.npz",
             ) if cache_name else None
-            if cache and path and os.path.exists(path):
+            if cache and path and _mp_and(os.path.exists(path)):
                 data = np.load(path)
                 return {"mu": data["mu"], "sigma": data["sigma"]}
             if feats is None:

@@ -5,6 +5,9 @@ from .mesh import (  # noqa: F401
     make_mesh,
     params_shardings,
     put_global_batch,
+    put_global_tree,
+    replicate_tree,
     replicated,
+    shard_full_batch,
     state_shardings,
 )

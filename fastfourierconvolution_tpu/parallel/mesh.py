@@ -74,6 +74,68 @@ def put_global_batch(sharding: NamedSharding, local_batch: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def shard_full_batch(sharding: NamedSharding, full_batch: np.ndarray):
+    """FULL (replicated-content) host batch -> globally dp-sharded array.
+
+    The eval-path dual of :func:`put_global_batch`: there every process
+    holds only its slice (the loader shards at the source); here every
+    process holds the WHOLE batch with identical content (seeded
+    samplers, full local datasets) and contributes the slice its
+    devices own. Assumes the mesh's dp axis orders process shards
+    contiguously by process index — true for :func:`make_mesh` over
+    ``jax.devices()`` (process-major ordering), the same contract
+    ``put_global_batch`` relies on.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(full_batch, sharding)
+    per, rem = divmod(len(full_batch), jax.process_count())
+    assert rem == 0, (
+        f"batch of {len(full_batch)} must divide over "
+        f"{jax.process_count()} processes"
+    )
+    lo = jax.process_index() * per
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(full_batch[lo : lo + per])
+    )
+
+
+def put_global_tree(tree, shardings):
+    """Host pytree (identical values on every process, e.g. a restored
+    checkpoint) -> sharded global arrays per ``shardings``.
+
+    Single-process this is ``jax.device_put``; multi-process each
+    process materialises only the shards its devices own
+    (``jax.make_array_from_callback``), so restore-into-shardings works
+    for leaves partitioned ACROSS processes (tp-sharded mix kernels) —
+    the multi-process restore half of the reference's resume contract
+    (models/ffcmodel.py:31-64).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Gather every leaf of ``tree`` to a FULLY REPLICATED layout on
+    ``mesh`` (an on-device all_gather over ICI).
+
+    This is the multi-process checkpoint-save path (reference resume
+    contract, models/ffcmodel.py:31-64, under jax.distributed): leaves
+    sharded across processes (e.g. tp-sharded FourierUnit mix kernels)
+    are not host-addressable, so ``jax.device_get`` / flax
+    serialisation would fail on them; after replication every process
+    holds the full value and can serialise it locally. dp-only states
+    are already replicated — the gather compiles to a no-op copy.
+    """
+    rep = jax.tree.map(lambda _: replicated(mesh), tree)
+    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+
+
 # --- parameter partition rules ----------------------------------------------
 
 # (regex on 'path/to/param', PartitionSpec) — first match wins; default

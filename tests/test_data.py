@@ -403,3 +403,35 @@ def test_loader_threaded_decode_matches_serial(tmp_path):
     for (xa, la), (xb, lb) in zip(serial, threaded):
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_loader_skip_batches_fast_forward():
+    """skip_batches(n) must reproduce the batch stream of a fresh
+    loader after n next() calls — including across epoch boundaries and
+    under process sharding — without gathering the skipped data (the
+    resume fast-forward contract, tests/test_multihost.py resume)."""
+    ds = SyntheticDataset(n=40, size=8, seed=3)
+
+    def stream(skip, take, process_index=0, process_count=1):
+        loader = DataLoader(ds, batch_size=8, seed=7,
+                            process_index=process_index,
+                            process_count=process_count)
+        loader.skip_batches(skip)
+        it = loader.epochs()
+        out = [next(it)[0] for _ in range(take)]
+        it.close()
+        return out
+
+    # 5 batches/epoch: skip 0,3 (mid-epoch), 5 (exact epoch), 12 (2
+    # epochs + 2) and compare to a reference stream read from scratch
+    ref = stream(0, 20)
+    for skip in (3, 5, 12):
+        got = stream(skip, 20 - skip)
+        for a, b in zip(ref[skip:], got):
+            np.testing.assert_array_equal(a, b)
+
+    # process-sharded slices fast-forward consistently too
+    ref_p1 = stream(0, 10, process_index=1, process_count=2)
+    got_p1 = stream(7, 3, process_index=1, process_count=2)
+    for a, b in zip(ref_p1[7:], got_p1):
+        np.testing.assert_array_equal(a, b)

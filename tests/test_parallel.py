@@ -243,3 +243,35 @@ def test_sharded_eval_extraction_matches_unsharded(devices8):
     f1 = ex_plain.extract(lambda i: imgs[i:i + 8], 16)["64"]
     f2 = ex_mesh.extract(lambda i: imgs[i:i + 8], 16)["64"]
     np.testing.assert_allclose(f1, f2, atol=1e-4)
+
+
+def test_replicate_and_put_global_tree_roundtrip(devices8):
+    """replicate_tree gathers tp-sharded leaves to fully-replicated
+    (host-gettable) values; put_global_tree re-shards a host tree into
+    arbitrary shardings — the two halves of the multi-process
+    checkpoint path (single-process here; cross-process in
+    tests/test_multihost.py)."""
+    from fastfourierconvolution_tpu.parallel import (
+        put_global_tree,
+        replicate_tree,
+    )
+
+    mesh = make_mesh(n_data=4, n_tensor=2, devices=devices8)
+    trainer = _tiny()
+    state = trainer.init(jax.random.PRNGKey(1), jnp.zeros((8, 8, 8, 3)))
+    s_shard = state_shardings(mesh, state, trainer.g_tx, trainer.d_tx)
+    sharded = jax.device_put(state, s_shard)
+
+    host = jax.device_get(replicate_tree(sharded, mesh))
+    a, _ = jax.flatten_util.ravel_pytree(host.g.params)
+    b, _ = jax.flatten_util.ravel_pytree(state.g.params)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    back = put_global_tree(host, s_shard)
+    chk = jax.tree.map(
+        lambda x, s: x.sharding == s, back.g.params, s_shard.g.params
+    )
+    assert all(jax.tree_util.tree_leaves(chk))
+    c, _ = jax.flatten_util.ravel_pytree(jax.device_get(
+        replicate_tree(back, mesh)).g.params)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(b))
