@@ -188,8 +188,18 @@ def run_train(cfg) -> None:
     )
     state = trainer.init(rng, sample)
 
-    # data-parallel over every visible device
-    mesh = make_mesh()
+    # data-parallel over every visible device; optional tensor axis
+    # (train.tp) shards the generator stem + FourierUnit mix kernels
+    # per the parallel/mesh.py rules (bit-exact vs unsharded, tested)
+    tp = max(1, int(t.tp))
+    if jax.process_count() > 1 and len(jax.local_devices()) % tp:
+        raise SystemExit(
+            f"train.tp={tp} must divide the per-host device count "
+            f"({len(jax.local_devices())}): the loader shards the "
+            f"global batch by process, which requires every tp group "
+            f"(and hence each dp row) to live on one host"
+        )
+    mesh = make_mesh(n_tensor=tp)
     s_shard = state_shardings(mesh, state, trainer.g_tx, trainer.d_tx)
     b_shard = batch_sharding(mesh)
     state = jax.device_put(state, s_shard)

@@ -148,6 +148,66 @@ class DigitsDataset(ArrayDataset):
         super().__init__(imgs[sel], labels[sel])
 
 
+class PhotoPatchesDataset(ArrayDataset):
+    """Native-resolution REAL photographic patches: seeded random crops
+    from the two 427x640 RGB photographs bundled inside scikit-learn
+    (``load_sample_images``: china.jpg, flower.jpg). Complements
+    ``digits`` on this zero-egress host along the axis digits cannot
+    cover — digits is 8x8 grayscale UPSCALED to the training size,
+    while every patch here is a genuine photograph crop at the
+    requested size with no resampling (up to 256px). Labels = source
+    photo index, so conditional presets work (2 classes).
+
+    Honest caveat (kept in the run artifacts): two source scenes make
+    this a texture/patch-statistics benchmark, not an object-category
+    set — GAN metrics on it measure local-statistics matching, and
+    diversity is bounded by the source material. Registered as the
+    ``patches`` dataset name alongside the reference's torchvision
+    named-dataset branches (util/data_loader.py:477-526)."""
+
+    NUM_CLASSES = 2
+
+    def __init__(self, size: int = 64, channels: int = 3, n: int = 8192,
+                 split: str = "train", seed: int = 2020):
+        try:
+            from sklearn.datasets import load_sample_images
+        except ImportError as e:  # pragma: no cover - present in image
+            raise ImportError(
+                "dataset 'patches' needs scikit-learn (bundles the two "
+                "sample photographs offline)"
+            ) from e
+
+        photos = [np.ascontiguousarray(p, dtype=np.uint8)
+                  for p in load_sample_images().images]
+        h, w = min(p.shape[0] for p in photos), min(p.shape[1] for p in photos)
+        assert size <= min(h, w), (
+            f"patches size {size} exceeds the source photos ({h}x{w})"
+        )
+        # distinct seeded streams per split (test crops differ from
+        # train crops; spatial overlap with train regions is inherent
+        # to cropping from two photos and part of the stated caveat)
+        rng = np.random.RandomState(seed + (0 if split == "train" else 1))
+        if split != "train":
+            n = max(1, n // 10)
+        images = np.empty((n, size, size, channels), np.uint8)
+        labels = np.empty((n,), np.int64)
+        for i in range(n):
+            p = rng.randint(0, len(photos))
+            img = photos[p]
+            y0 = rng.randint(0, img.shape[0] - size + 1)
+            x0 = rng.randint(0, img.shape[1] - size + 1)
+            crop = img[y0:y0 + size, x0:x0 + size]
+            if rng.rand() < 0.5:  # hflip doubles effective coverage
+                crop = crop[:, ::-1]
+            if channels == 1:
+                crop = np.round(crop.mean(axis=-1, keepdims=True))
+            elif channels != crop.shape[-1]:
+                crop = np.repeat(crop[..., :1], channels, axis=-1)
+            images[i] = crop
+            labels[i] = p
+        super().__init__(images, labels)
+
+
 def _open_maybe_gz(path: str):
     return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
 
@@ -698,6 +758,13 @@ def load_dataset(
             return ShapesDataset(size=image_size, channels=channels)
         if lname == "digits":
             return DigitsDataset(channels=channels, split=split)
+        if lname == "patches":
+            # crops are cut at the training size directly (native
+            # resolution is the point) — the resize wrapper is a no-op
+            return PhotoPatchesDataset(
+                size=image_size, channels=channels, split=split,
+                n=8192 if image_size <= 64 else 2048,
+            )
         if lname in _LOADERS:
             return _LOADERS[lname](data_dir, split=split)
         if lname in _FOLDER_DATASETS:

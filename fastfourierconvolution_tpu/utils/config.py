@@ -64,6 +64,10 @@ class TrainConfig:
     seed: int = 0
     precision: str = "f32"  # f32|bf16 (activation compute dtype)
     remat: Optional[str] = None  # none|dots|full activation rematerialisation
+    tp: int = 1  # tensor-parallel mesh axis width (dp = devices // tp);
+    # shards generator stem + FourierUnit mix kernels (parallel/mesh.py
+    # rules, bit-exact vs unsharded). Multi-process: must divide the
+    # per-host device count so tp groups stay process-local
 
 
 @dataclass

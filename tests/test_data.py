@@ -435,3 +435,33 @@ def test_loader_skip_batches_fast_forward():
     got_p1 = stream(7, 3, process_index=1, process_count=2)
     for a, b in zip(ref_p1[7:], got_p1):
         np.testing.assert_array_equal(a, b)
+
+
+def test_patches_dataset_native_resolution_real_photos():
+    """The sklearn-bundled sample photographs as a native-resolution
+    real-patch source (round 5): crops come out at the requested size
+    with no resampling, carry the source-photo label, and differ
+    between the train and test streams."""
+    from fastfourierconvolution_tpu.data.datasets import PhotoPatchesDataset
+
+    tr = PhotoPatchesDataset(size=64, n=256, split="train")
+    te = PhotoPatchesDataset(size=64, n=256, split="test")
+    assert len(tr) == 256 and len(te) == 25
+    img, lbl = tr[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert lbl in (0, 1) and set(np.unique(tr.labels)) == {0, 1}
+    # real photographic content: strong neighbour-pixel correlation
+    f = tr.images.astype(np.float32)
+    corr = np.corrcoef(f[:, :-1].ravel(), f[:, 1:].ravel())[0, 1]
+    assert corr > 0.9
+    # the two sources are visually distinct (class means differ)
+    m0 = tr.images[tr.labels == 0].mean()
+    m1 = tr.images[tr.labels == 1].mean()
+    assert abs(m0 - m1) > 5
+    # split streams draw different crops
+    assert not np.array_equal(tr.images[0], te.images[0])
+
+    # factory path: no-op resize at the native crop size, grayscale opt
+    ds = load_dataset("patches", "", image_size=32, channels=1)
+    img32, _ = ds[0]
+    assert img32.shape == (32, 32, 1)

@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -275,3 +277,80 @@ def test_replicate_and_put_global_tree_roundtrip(devices8):
     c, _ = jax.flatten_util.ravel_pytree(jax.device_get(
         replicate_tree(back, mesh)).g.params)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(b))
+
+
+def test_driver_tp_axis_end_to_end(devices8, tmp_path, capsys):
+    """The CLI driver's train.tp knob (round 5): a dp=4 x tp=2 run
+    through the REAL driver matches the dp-only trajectory within the
+    tp reduction-reorder tolerance, saves tp-sharded checkpoints, and
+    resumes from them (put_global_tree back into the tp shardings).
+
+    Reference analogue: none — the reference is single-process
+    nn.DataParallel only (SURVEY §2.8); tp is a beyond-reference axis
+    previously reachable only through the library API."""
+    import json
+
+    from fastfourierconvolution_tpu.cli import main
+
+    def run(logs, steps, tp):
+        main([
+            "train",
+            "--set", "data.dataset=synthetic",
+            "--set", "data.image_size=16",
+            "--set", "model.generator=ffc",
+            "--set", "model.discriminator=ffc",
+            "--set", "model.ngf=16",
+            "--set", "model.z_size=32",
+            "--set", "model.mg=2",
+            "--set", "train.batch_size=8",
+            "--set", f"train.tp={tp}",
+            "--set", f"train.num_total_steps={steps}",
+            "--set", "train.num_epoch_steps=2",
+            "--set", "log.log_every=1",
+            "--set", "eval.isc=false",
+            "--set", "eval.fid=false",
+            "--set", "log.checkpoint=true",
+            "--set", "log.checkpoint_after_frac=0.0",
+            "-o", logs,
+        ])
+
+    def loss_rows(logs):
+        rows = {}
+        with open(os.path.join(logs, "scalars.jsonl")) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if "loss_g" in r:
+                    rows[r["step"]] = (r["loss_g"], r["loss_d"])
+        return rows
+
+    logs_tp = str(tmp_path / "tp2")
+    logs_dp = str(tmp_path / "dp")
+    run(logs_tp, 4, tp=2)
+    run(logs_dp, 4, tp=1)
+    tp_rows, dp_rows = loss_rows(logs_tp), loss_rows(logs_dp)
+    assert set(tp_rows) == set(dp_rows) and len(tp_rows) == 4
+    # first-step parity within the tp matmul-reduction-reorder bound
+    # (test_tp_matches_single_device_numerics); later steps drift by
+    # GAN chaos (~2-3x/step) so only require same-ballpark + finite
+    first = min(tp_rows)
+    np.testing.assert_allclose(
+        tp_rows[first], dp_rows[first], rtol=5e-3, atol=5e-3
+    )
+    for k in tp_rows:
+        assert np.isfinite(tp_rows[k]).all()
+        np.testing.assert_allclose(
+            tp_rows[k], dp_rows[k], rtol=0.5, atol=0.5
+        )
+
+    # tp-sharded checkpoints were written; resume restores them into
+    # the tp shardings and continues to step 8
+    names = os.listdir(os.path.join(logs_tp, "checkpoints"))
+    assert "ckpt_4_steps.ckpt" in names, names
+    capsys.readouterr()
+    run(logs_tp, 8, tp=2)
+    out = capsys.readouterr().out
+    assert "resumed from step 4" in out
+    resumed = loss_rows(logs_tp)
+    assert set(resumed) >= set(range(4, 8))
+    for k in range(4, 8):
+        assert np.isfinite(resumed[k]).all()
