@@ -85,6 +85,33 @@ def run_train(cfg) -> None:
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     policy.set_compute_dtype(t.precision)
+    dataset = load_dataset(
+        cfg.data.dataset,
+        cfg.data.data_dir,
+        cfg.data.image_size,
+        cfg.data.channels,
+        hflip_augment=cfg.data.hflip_augment,
+        aug_stack=cfg.data.aug_stack,
+        download=cfg.data.download,
+    )
+    if cfg.model.conditional and cfg.model.num_classes <= 0:
+        # conditional presets pin num_classes; for ad-hoc conditional
+        # runs take it from the dataset's labels (a 0-row embedding
+        # table would otherwise fail deep inside XLA's gather)
+        from .data.datasets import num_classes_of
+
+        inferred = num_classes_of(dataset)
+        if inferred < 2:
+            raise SystemExit(
+                "model.conditional=true needs model.num_classes: the "
+                f"'{cfg.data.dataset}' dataset does not carry class "
+                "labels to infer it from — pass --set "
+                "model.num_classes=N or use an unconditional model"
+            )
+        if jax.process_index() == 0:
+            print(f"[config] model.num_classes={inferred} "
+                  f"(inferred from dataset '{cfg.data.dataset}')")
+        cfg.model.num_classes = inferred
     g_model, d_model = build_models(cfg)
     # fused [fake; real] D pass is numerics-identical only for BN-free
     # discriminators (the SN conv families); aw-method needs split passes
@@ -116,15 +143,6 @@ def run_train(cfg) -> None:
         d_progress_arg=cfg.model.discriminator == "cond_dcgan",
     )
 
-    dataset = load_dataset(
-        cfg.data.dataset,
-        cfg.data.data_dir,
-        cfg.data.image_size,
-        cfg.data.channels,
-        hflip_augment=cfg.data.hflip_augment,
-        aug_stack=cfg.data.aug_stack,
-        download=cfg.data.download,
-    )
     # ship uint8 batches and normalise on-device: 4x less host->device
     # traffic (identical f32 math; x/127.5 - 1 either side)
     loader = DataLoader(

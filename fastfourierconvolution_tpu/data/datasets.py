@@ -150,22 +150,25 @@ class DigitsDataset(ArrayDataset):
 
 class PhotoPatchesDataset(ArrayDataset):
     """Native-resolution REAL photographic patches: seeded random crops
-    from the two 427x640 RGB photographs bundled inside scikit-learn
-    (``load_sample_images``: china.jpg, flower.jpg). Complements
-    ``digits`` on this zero-egress host along the axis digits cannot
-    cover — digits is 8x8 grayscale UPSCALED to the training size,
-    while every patch here is a genuine photograph crop at the
-    requested size with no resampling (up to 256px). Labels = source
-    photo index, so conditional presets work (2 classes).
+    from the RGB photographs bundled inside scikit-learn
+    (``load_sample_images``: china.jpg, flower.jpg, both 427x640) plus
+    matplotlib's sample portrait (grace_hopper.jpg, 600x512) when
+    matplotlib is importable. Complements ``digits`` on this
+    zero-egress host along the axis digits cannot cover — digits is
+    8x8 grayscale UPSCALED to the training size, while every patch
+    here is a genuine photograph crop at the requested size with no
+    resampling (up to 256px; pool min dims 427x512). Labels = source
+    photo index, so conditional presets work (2-3 classes).
 
-    Honest caveat (kept in the run artifacts): two source scenes make
-    this a texture/patch-statistics benchmark, not an object-category
-    set — GAN metrics on it measure local-statistics matching, and
-    diversity is bounded by the source material. Registered as the
-    ``patches`` dataset name alongside the reference's torchvision
-    named-dataset branches (util/data_loader.py:477-526)."""
+    Honest caveat (kept in the run artifacts): two or three source
+    scenes make this a texture/patch-statistics benchmark, not an
+    object-category set — GAN metrics on it measure local-statistics
+    matching, and diversity is bounded by the source material.
+    Registered as the ``patches`` dataset name alongside the
+    reference's torchvision named-dataset branches
+    (util/data_loader.py:477-526)."""
 
-    NUM_CLASSES = 2
+    NUM_CLASSES = 2  # sklearn pool; instances report the actual count
 
     def __init__(self, size: int = 64, channels: int = 3, n: int = 8192,
                  split: str = "train", seed: int = 2020):
@@ -179,6 +182,21 @@ class PhotoPatchesDataset(ArrayDataset):
 
         photos = [np.ascontiguousarray(p, dtype=np.uint8)
                   for p in load_sample_images().images]
+        try:  # third scene (a portrait), bundled with matplotlib
+            import matplotlib
+            from PIL import Image
+
+            hopper = os.path.join(
+                os.path.dirname(matplotlib.__file__),
+                "mpl-data", "sample_data", "grace_hopper.jpg",
+            )
+            with Image.open(hopper) as im:
+                photos.append(
+                    np.ascontiguousarray(im.convert("RGB"), dtype=np.uint8)
+                )
+        except Exception:  # pragma: no cover - both baked into the image
+            pass
+        self.NUM_CLASSES = len(photos)
         h, w = min(p.shape[0] for p in photos), min(p.shape[1] for p in photos)
         assert size <= min(h, w), (
             f"patches size {size} exceeds the source photos ({h}x{w})"
@@ -588,6 +606,37 @@ class TransformedDataset:
         if arr.ndim == 2:
             arr = arr[..., None]
         return arr, label
+
+
+def num_classes_of(ds) -> int:
+    """Best-effort label-class count of a dataset (0 = unlabeled).
+
+    Checks, in order: an explicit ``NUM_CLASSES`` attribute, a folder/
+    tar ``class_to_idx`` map, and finally the observed label array.
+    Wrappers (``TransformedDataset.base``, ``ConcatDataset.datasets``,
+    decode caches) are unwrapped. Used by the training driver to infer
+    ``model.num_classes`` for conditional runs (the reference hardcodes
+    10 in its Config, config/params.py — here every dataset knows its
+    own count)."""
+    seen = 0
+    while ds is not None and seen < 8:  # unwrap nested wrappers
+        n = getattr(ds, "NUM_CLASSES", None)
+        if n:
+            return int(n)
+        c2i = getattr(ds, "class_to_idx", None)
+        if c2i:
+            return len(c2i)
+        inner = getattr(ds, "base", None)
+        if inner is None:
+            subs = getattr(ds, "datasets", None)
+            inner = subs[0] if subs else None
+        if inner is None:
+            labels = getattr(ds, "labels", None)
+            if labels is not None and len(labels):
+                m = int(np.max(labels))
+                return m + 1 if m > 0 else 0
+        ds, seen = inner, seen + 1
+    return 0
 
 
 class ConcatDataset:

@@ -171,7 +171,7 @@ def params_shardings(mesh: Mesh, params) -> object:
         )
         for pattern, spec in _TP_RULES:
             if re.match(pattern, name):
-                            return spec
+                return spec
         return P()
 
     def shard_one(path, leaf):

@@ -122,6 +122,14 @@ class TupleHeadWrapper:
 
 
 def build_models(cfg: Config) -> Tuple[object, object]:
+    if cfg.model.conditional and cfg.model.num_classes <= 0:
+        # fail fast: a 0-row label-embedding table surfaces as an
+        # inscrutable XLA gather error only at first trace
+        raise ValueError(
+            "model.conditional=true requires model.num_classes >= 2 "
+            "(conditional presets set it; the train driver infers it "
+            "from labeled datasets)"
+        )
     g = build_generator(cfg)
     d = build_discriminator(cfg)
     if cfg.model.generator == "sagan":

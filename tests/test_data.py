@@ -449,15 +449,20 @@ def test_patches_dataset_native_resolution_real_photos():
     assert len(tr) == 256 and len(te) == 25
     img, lbl = tr[0]
     assert img.shape == (64, 64, 3) and img.dtype == np.uint8
-    assert lbl in (0, 1) and set(np.unique(tr.labels)) == {0, 1}
+    # pool = sklearn's two photos + matplotlib's portrait when present
+    ncls = tr.NUM_CLASSES
+    assert ncls in (2, 3)
+    assert 0 <= lbl < ncls
+    assert set(np.unique(tr.labels)) == set(range(ncls))
     # real photographic content: strong neighbour-pixel correlation
     f = tr.images.astype(np.float32)
     corr = np.corrcoef(f[:, :-1].ravel(), f[:, 1:].ravel())[0, 1]
     assert corr > 0.9
-    # the two sources are visually distinct (class means differ)
-    m0 = tr.images[tr.labels == 0].mean()
-    m1 = tr.images[tr.labels == 1].mean()
-    assert abs(m0 - m1) > 5
+    # the sources are visually distinct (pairwise class means differ)
+    means = [tr.images[tr.labels == c].mean() for c in range(ncls)]
+    for a in range(ncls):
+        for b in range(a + 1, ncls):
+            assert abs(means[a] - means[b]) > 5
     # split streams draw different crops
     assert not np.array_equal(tr.images[0], te.images[0])
 
