@@ -23,6 +23,44 @@ from typing import Optional
 import numpy as np
 
 
+def _maybe_infer_num_classes(cfg, dataset=None) -> None:
+    """Fill ``model.num_classes`` from the dataset's labels when a
+    conditional run leaves it unset (< 2) — conditional presets pin it;
+    ad-hoc runs take it from the data (a 0-row embedding table would
+    otherwise fail deep inside XLA's gather at first trace). Used by
+    train (with its already-loaded dataset) AND by the sample/export
+    checkpoint loaders (loading the dataset on demand), so a checkpoint
+    trained with an inferred count reloads with the very same flags."""
+    if not cfg.model.conditional or cfg.model.num_classes >= 2:
+        return
+    import jax
+
+    from .data.datasets import num_classes_of
+
+    if dataset is None:
+        try:
+            from .data import load_dataset
+
+            dataset = load_dataset(
+                cfg.data.dataset, cfg.data.data_dir,
+                cfg.data.image_size, cfg.data.channels,
+            )
+        except Exception:
+            dataset = None
+    inferred = num_classes_of(dataset) if dataset is not None else 0
+    if inferred < 2:
+        raise SystemExit(
+            "model.conditional=true needs model.num_classes: the "
+            f"'{cfg.data.dataset}' dataset does not carry class labels "
+            "to infer it from — pass --set model.num_classes=N or use "
+            "an unconditional model"
+        )
+    if jax.process_index() == 0:
+        print(f"[config] model.num_classes={inferred} "
+              f"(inferred from dataset '{cfg.data.dataset}')")
+    cfg.model.num_classes = inferred
+
+
 def run_train(cfg) -> None:
     import jax
 
@@ -94,24 +132,7 @@ def run_train(cfg) -> None:
         aug_stack=cfg.data.aug_stack,
         download=cfg.data.download,
     )
-    if cfg.model.conditional and cfg.model.num_classes <= 0:
-        # conditional presets pin num_classes; for ad-hoc conditional
-        # runs take it from the dataset's labels (a 0-row embedding
-        # table would otherwise fail deep inside XLA's gather)
-        from .data.datasets import num_classes_of
-
-        inferred = num_classes_of(dataset)
-        if inferred < 2:
-            raise SystemExit(
-                "model.conditional=true needs model.num_classes: the "
-                f"'{cfg.data.dataset}' dataset does not carry class "
-                "labels to infer it from — pass --set "
-                "model.num_classes=N or use an unconditional model"
-            )
-        if jax.process_index() == 0:
-            print(f"[config] model.num_classes={inferred} "
-                  f"(inferred from dataset '{cfg.data.dataset}')")
-        cfg.model.num_classes = inferred
+    _maybe_infer_num_classes(cfg, dataset)
     g_model, d_model = build_models(cfg)
     # fused [fake; real] D pass is numerics-identical only for BN-free
     # discriminators (the SN conv families); aw-method needs split passes
@@ -607,7 +628,19 @@ def run_train(cfg) -> None:
                                 next_step,
                                 keep=1,
                             )
-            except Exception as e:  # metrics must never kill training
+            except Exception as e:
+                # Single-process: metrics must never kill training
+                # (reference contract — a failed eval logs and moves
+                # on). Multi-process: the eval epoch contains GLOBAL
+                # collectives (dp-sharded generation/extraction,
+                # _mp_and cache votes); a host-local failure here means
+                # the other processes are blocked inside a collective
+                # this process would never enter again — swallowing the
+                # error guarantees a silent pod hang with mismatched
+                # collective order. Fail fast instead: the distributed
+                # runtime tears the job down with the real error.
+                if jax.process_count() > 1:
+                    raise
                 print(f"WARNING: metrics failed: {e}")
 
         grid = np.asarray(
@@ -657,6 +690,7 @@ def _load_generator_state(cfg, torch_checkpoint: Optional[str],
     from .train.checkpoint import restore_latest
     from .zoo import build_models
 
+    _maybe_infer_num_classes(cfg)
     g_model, d_model = build_models(cfg)
     trainer = GANTrainer(
         g_model,
@@ -1014,6 +1048,7 @@ def _generative_model_from_run_dir(run_dir: str, args):
 
     cfg = make_config(args.preset)
     apply_overrides(cfg, args.set or [])
+    _maybe_infer_num_classes(cfg)
     g_model, d_model = build_models(cfg)
     trainer = GANTrainer(
         g_model,

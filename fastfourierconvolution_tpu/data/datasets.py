@@ -150,25 +150,25 @@ class DigitsDataset(ArrayDataset):
 
 class PhotoPatchesDataset(ArrayDataset):
     """Native-resolution REAL photographic patches: seeded random crops
-    from the RGB photographs bundled inside scikit-learn
-    (``load_sample_images``: china.jpg, flower.jpg, both 427x640) plus
-    matplotlib's sample portrait (grace_hopper.jpg, 600x512) when
-    matplotlib is importable. Complements ``digits`` on this
-    zero-egress host along the axis digits cannot cover — digits is
-    8x8 grayscale UPSCALED to the training size, while every patch
-    here is a genuine photograph crop at the requested size with no
-    resampling (up to 256px; pool min dims 427x512). Labels = source
-    photo index, so conditional presets work (2-3 classes).
+    from the three RGB photographs bundled on a zero-egress host —
+    scikit-learn's ``load_sample_images`` (china.jpg, flower.jpg, both
+    427x640) plus matplotlib's sample portrait (grace_hopper.jpg,
+    600x512). Complements ``digits`` along the axis digits cannot
+    cover — digits is 8x8 grayscale UPSCALED to the training size,
+    while every patch here is a genuine photograph crop at the
+    requested size with no resampling (up to 256px; pool min dims
+    427x512). Labels = source photo index, so conditional presets work
+    (3 classes).
 
-    Honest caveat (kept in the run artifacts): two or three source
-    scenes make this a texture/patch-statistics benchmark, not an
+    Honest caveat (kept in the run artifacts): three source scenes
+    make this a texture/patch-statistics benchmark, not an
     object-category set — GAN metrics on it measure local-statistics
     matching, and diversity is bounded by the source material.
     Registered as the ``patches`` dataset name alongside the
     reference's torchvision named-dataset branches
     (util/data_loader.py:477-526)."""
 
-    NUM_CLASSES = 2  # sklearn pool; instances report the actual count
+    NUM_CLASSES = 3
 
     def __init__(self, size: int = 64, channels: int = 3, n: int = 8192,
                  split: str = "train", seed: int = 2020):
@@ -182,21 +182,24 @@ class PhotoPatchesDataset(ArrayDataset):
 
         photos = [np.ascontiguousarray(p, dtype=np.uint8)
                   for p in load_sample_images().images]
-        try:  # third scene (a portrait), bundled with matplotlib
-            import matplotlib
-            from PIL import Image
+        # third scene (a portrait), bundled with matplotlib — loaded
+        # unconditionally: a per-host optional pool would let
+        # heterogeneous pod hosts silently train on DIFFERENT data (and
+        # infer different num_classes); deterministic-or-loud beats
+        # silent SPMD divergence (matplotlib is already a hard dep of
+        # the logging/plot stack)
+        import matplotlib
+        from PIL import Image
 
-            hopper = os.path.join(
-                os.path.dirname(matplotlib.__file__),
-                "mpl-data", "sample_data", "grace_hopper.jpg",
+        hopper = os.path.join(
+            os.path.dirname(matplotlib.__file__),
+            "mpl-data", "sample_data", "grace_hopper.jpg",
+        )
+        with Image.open(hopper) as im:
+            photos.append(
+                np.ascontiguousarray(im.convert("RGB"), dtype=np.uint8)
             )
-            with Image.open(hopper) as im:
-                photos.append(
-                    np.ascontiguousarray(im.convert("RGB"), dtype=np.uint8)
-                )
-        except Exception:  # pragma: no cover - both baked into the image
-            pass
-        self.NUM_CLASSES = len(photos)
+        assert len(photos) == self.NUM_CLASSES, len(photos)
         h, w = min(p.shape[0] for p in photos), min(p.shape[1] for p in photos)
         assert size <= min(h, w), (
             f"patches size {size} exceeds the source photos ({h}x{w})"

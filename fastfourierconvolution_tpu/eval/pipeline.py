@@ -596,8 +596,10 @@ def calculate_metrics(
     pinned to ``input1``. ``prc_input1_generated`` controls whether the
     feature sets are swapped at the PRC call so precision/recall keep
     their meaning; the default ``None`` auto-detects: swap exactly when
-    ``input1`` is a generative model/sampler and ``input2`` is data
-    (the in-training eval configuration — ADVICE r4 medium).
+    ``input1`` is a :class:`GenerativeModel` and ``input2`` is not (the
+    in-training eval configuration — ADVICE r4 medium). Plain callable
+    samplers count as data (their role is ambiguous): pass the flag
+    explicitly when a callable feeds generated images.
     """
     assert isc or fid or kid or prc or ppl, (
         "at least one metric must be requested"
@@ -820,10 +822,13 @@ def calculate_metrics(
             # their standard meaning (ADVICE r4 medium).
             swap = prc_input1_generated
             if swap is None:
-                swap = (
-                    isinstance(input1, GenerativeModel) or callable(input1)
-                ) and not (
-                    isinstance(input2, GenerativeModel) or callable(input2)
+                # only a GenerativeModel marks an input as generated; a
+                # plain callable sampler is a DATA kind whose role is
+                # ambiguous (it may well feed real images) — default to
+                # the reference's input1=REAL reading and let callers
+                # override via prc_input1_generated
+                swap = isinstance(input1, GenerativeModel) and not isinstance(
+                    input2, GenerativeModel
                 )
             f_real = feats2 if swap else feats1
             f_gen = feats1 if swap else feats2

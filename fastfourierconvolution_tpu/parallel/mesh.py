@@ -120,6 +120,9 @@ def put_global_tree(tree, shardings):
     return jax.tree.map(put, tree, shardings)
 
 
+_REPLICATE_JITS: dict = {}
+
+
 def replicate_tree(tree, mesh: Mesh):
     """Gather every leaf of ``tree`` to a FULLY REPLICATED layout on
     ``mesh`` (an on-device all_gather over ICI).
@@ -131,9 +134,17 @@ def replicate_tree(tree, mesh: Mesh):
     serialisation would fail on them; after replication every process
     holds the full value and can serialise it locally. dp-only states
     are already replicated — the gather compiles to a no-op copy.
+
+    The jitted identity is cached per (mesh, tree structure): a fresh
+    ``jax.jit(lambda ...)`` per call would re-trace the full state on
+    every periodic checkpoint save.
     """
-    rep = jax.tree.map(lambda _: replicated(mesh), tree)
-    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+    key = (mesh, jax.tree.structure(tree))
+    fn = _REPLICATE_JITS.get(key)
+    if fn is None:
+        rep = jax.tree.map(lambda _: replicated(mesh), tree)
+        fn = _REPLICATE_JITS[key] = jax.jit(lambda t: t, out_shardings=rep)
+    return fn(tree)
 
 
 # --- parameter partition rules ----------------------------------------------

@@ -122,7 +122,7 @@ class TupleHeadWrapper:
 
 
 def build_models(cfg: Config) -> Tuple[object, object]:
-    if cfg.model.conditional and cfg.model.num_classes <= 0:
+    if cfg.model.conditional and cfg.model.num_classes < 2:
         # fail fast: a 0-row label-embedding table surfaces as an
         # inscrutable XLA gather error only at first trace
         raise ValueError(

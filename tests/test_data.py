@@ -449,9 +449,10 @@ def test_patches_dataset_native_resolution_real_photos():
     assert len(tr) == 256 and len(te) == 25
     img, lbl = tr[0]
     assert img.shape == (64, 64, 3) and img.dtype == np.uint8
-    # pool = sklearn's two photos + matplotlib's portrait when present
+    # pool = sklearn's two photos + matplotlib's portrait (always 3 —
+    # a host-dependent pool would silently diverge across pod hosts)
     ncls = tr.NUM_CLASSES
-    assert ncls in (2, 3)
+    assert ncls == 3
     assert 0 <= lbl < ncls
     assert set(np.unique(tr.labels)) == set(range(ncls))
     # real photographic content: strong neighbour-pixel correlation

@@ -507,6 +507,22 @@ def test_prc_orientation_generative_input1(toy_extractors):
     assert got_noswap["precision"] == pytest.approx(ref["recall"], abs=1e-6)
     assert got_noswap["recall"] == pytest.approx(ref["precision"], abs=1e-6)
 
+    # a PLAIN callable sampler is a DATA input kind whose role is
+    # ambiguous — auto-detect must NOT treat it as generated (r5
+    # review): input1 = callable serving the REAL images keeps the
+    # canonical orientation, bit-identical to the ndarray layout
+    state = {"i": 0}
+
+    def real_sampler(n):
+        i = state["i"]
+        state["i"] += n
+        return real[i:i + n]
+
+    got_call = P.calculate_metrics(real_sampler, fake,
+                                   input1_model_num_samples=48, **kw)
+    assert got_call["precision"] == pytest.approx(ref["precision"], abs=1e-6)
+    assert got_call["recall"] == pytest.approx(ref["recall"], abs=1e-6)
+
 
 def test_internal_dtype_factory_sniffing(toy_extractors):
     """internal_dtype routing to registry factories (ADVICE r4 low):
