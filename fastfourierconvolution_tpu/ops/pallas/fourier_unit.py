@@ -36,6 +36,7 @@ update; eval mode uses the provided running stats.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -302,11 +303,17 @@ def _kron_vmem_bytes(h: int, w: int, itemsize: int = 4) -> int:
 # a real-hardware smoke in bench.py) for future hardware where the
 # balance differs.
 
-_PALLAS_ENABLED = False
+# env opt-in mirrors ops/pallas/bn_act.py's FFC_TPU_FUSED_BN so
+# subprocess A/B harnesses (tools/serve_pallas_ab.py) can flip the
+# dispatch without code edits; default stays OFF per the table above
+_PALLAS_ENABLED = os.environ.get("FFC_TPU_PALLAS", "0") not in (
+    "0", "false", ""
+)
 # kernel family: "sep" = separable-DFT (factor matmuls + in-VMEM
 # relayouts, O(HW(H+W)C) FLOPs, fits every ladder resolution);
 # "kron" = Kronecker spatial matrices (small maps only)
-_PALLAS_MODE = "sep"
+_PALLAS_MODE = os.environ.get("FFC_TPU_PALLAS_MODE", "sep")
+assert _PALLAS_MODE in ("sep", "sep2", "kron"), _PALLAS_MODE
 
 
 def set_pallas_enabled(enabled: bool) -> None:
